@@ -1,0 +1,104 @@
+"""Typed configuration for the whole framework.
+
+The reference scatters its tuning surface across a JSON file
+(``frontend.rs:8-23``, ``config/config_1mb_row1.json``) and hard-coded
+constants (``simulator.rs:449-455``, ``scheduler.rs:203``,
+``rowwise_perf_adjust.rs:125-126``, ``rowwise_adjust.rs:227-234``,
+``colwise_reg_adjust.rs:39``).  Here every one of those knobs is surfaced in a
+single dataclass, together with the TPU-native tunables that replace the
+simulated micro-architecture.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+from typing import Optional, Sequence, Tuple
+
+
+@dataclasses.dataclass
+class SpadaConfig:
+    # ---- workload locations (reference: OmegaConfig, frontend.rs:8-23) ----
+    ss_filepath: str = "./matrices"
+    nn_filepath: str = "./matrices/nn_gemm.pkl"
+
+    # ---- simulated-machine knobs, kept for the traffic/functional model ----
+    # (reference: config_1mb_row1.json + simulator.rs:449-455)
+    pe_num: int = 2
+    at_num: int = 16
+    lane_num: int = 8
+    cache_size: int = 1_572_864          # fiber-cache bytes (1.5 MiB)
+    word_byte: int = 8
+    block_shape: Tuple[int, int] = (1, 10_000_000)
+    mem_latency: int = 30                # cycles
+    cache_latency: int = 0               # cycles
+    freq: float = 1.0                    # GHz
+    channel: int = 16
+    bandwidth_per_channel: float = 8.0   # bytes/cycle
+    # hard-wired datapath params (simulator.rs:449-455)
+    sb_size: int = 4                     # stream-buffer depth
+    pb_size: int = 8                     # psum-buffer depth
+    pop_num_per_lane: int = 2
+    sn_latency: int = 4                  # sorting-network latency
+    mt_latency: int = 4                  # merge-tree latency
+    tree_width: int = 8                  # adder-tree width
+
+    # ---- adaptive-policy knobs ----
+    # (reference: scheduler.rs:203, rowwise_*_adjust.rs, colwise_*_adjust.rs)
+    adjust_scheme: int = 3               # 0 cost / 1 colwise-reg / 2 colwise-irr / 3 latency
+    var_factor: float = 1.5              # row-group segmentation threshold
+    group_diviser: int = 128             # wide-vs-narrow group split
+    sample_num: int = 4                  # blocks sampled per candidate height
+    cost_miss_weight: int = 100          # DRAM-traffic weight in the cost metric
+    colwise_block_width: int = 8         # scheme-1 fixed block width
+
+    # ---- TPU-native execution knobs (new; replace the simulated uarch) ----
+    tile_n: int = 128                    # output-tile lane width (MXU column dim)
+    tile_k: int = 128                    # contraction-tile depth (MXU row dim)
+    tm_choices: Tuple[int, ...] = (8, 16, 32, 64, 128)  # candidate row-panel heights
+    default_tm: int = 128
+    dataflow: str = "spada"              # 'spada' | 'ip' | 'op' | 'rowwise'
+    vmem_limit_bytes: Optional[int] = None
+    use_pallas: Optional[bool] = None    # None = auto (pallas on TPU, XLA else)
+    acc_dtype: str = "float32"
+    # memory budget for densifying C in the outer-product path (bytes)
+    dense_c_budget: int = 2 << 30
+
+    # ---- HBM roofline constants of the target chip (v5e defaults) ----
+    hbm_bytes_per_s: float = 819e9
+    peak_flops_f32: float = 98e12
+    peak_flops_bf16: float = 197e12
+
+    @classmethod
+    def from_json(cls, path: str) -> "SpadaConfig":
+        """Load a config JSON.
+
+        Accepts both this framework's full schema and the reference's flat
+        schema (``parse_config``, frontend.rs:77-85) — unknown keys are
+        rejected, missing keys take defaults.
+        """
+        with open(path) as f:
+            raw = json.load(f)
+        field_names = {f.name for f in dataclasses.fields(cls)}
+        unknown = set(raw) - field_names
+        if unknown:
+            raise ValueError(f"unknown config keys: {sorted(unknown)}")
+        if "block_shape" in raw:
+            raw["block_shape"] = tuple(raw["block_shape"])
+        if "tm_choices" in raw:
+            raw["tm_choices"] = tuple(raw["tm_choices"])
+        return cls(**raw)
+
+    def to_json(self, path: str) -> None:
+        with open(path, "w") as f:
+            json.dump(dataclasses.asdict(self), f, indent=2)
+
+    # ---- derived quantities ----
+    @property
+    def bandwidth_bytes_per_cycle(self) -> float:
+        return self.channel * self.bandwidth_per_channel
+
+    @property
+    def cache_words(self) -> int:
+        """Fiber-cache capacity in words (``capability``, storage.rs:498)."""
+        return self.cache_size // self.word_byte

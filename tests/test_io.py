@@ -1,0 +1,105 @@
+"""Ingestion tests: the mtx parser and workload rules against the scipy oracle
+(the reference's own ground-truth path, py2rust.rs:62-97)."""
+
+import numpy as np
+import pytest
+import scipy.io
+import scipy.sparse as sp
+
+from spada_tpu.io.mtx import load_mtx
+from spada_tpu.io.workloads import (
+    GemmWorkload,
+    load_pickled_gemms,
+    random_csr,
+    sort_by_length,
+)
+from spada_tpu.sparse.csr import CsrMatrix
+from tests.conftest import CARI
+
+
+def test_cari_matches_scipy(cari):
+    ref = scipy.io.mmread(CARI).tocsr()
+    assert cari.shape == ref.shape
+    assert cari.nnz == ref.nnz
+    got = cari.to_scipy()
+    assert (got != ref).nnz == 0
+
+
+def test_cari_header_stats(cari):
+    # matrices/cari.mtx header: 400 x 1200, 152800 nnz (BASELINE.md)
+    assert cari.shape == (400, 1200)
+    assert cari.nnz == 152800
+
+
+def test_symmetric_mtx(tmp_path):
+    p = tmp_path / "sym.mtx"
+    p.write_text(
+        "%%MatrixMarket matrix coordinate real symmetric\n"
+        "3 3 4\n1 1 2.0\n2 1 -3.0\n3 2 4.5\n3 3 1.0\n"
+    )
+    m = load_mtx(str(p))
+    ref = scipy.io.mmread(str(p)).tocsr()
+    np.testing.assert_allclose(m.todense(), ref.toarray())
+
+
+def test_pattern_mtx(tmp_path):
+    p = tmp_path / "pat.mtx"
+    p.write_text(
+        "%%MatrixMarket matrix coordinate pattern general\n"
+        "2 3 3\n1 1\n2 3\n1 2\n"
+    )
+    m = load_mtx(str(p))
+    ref = scipy.io.mmread(str(p)).tocsr()
+    np.testing.assert_allclose(m.todense(), ref.toarray())
+
+
+def test_workload_b_rule_square():
+    a = random_csr(16, 16, 0.2, seed=1)
+    w = GemmWorkload.from_matrix("sq", a)
+    assert (w.b.to_scipy() != a.to_scipy()).nnz == 0  # B = A
+
+
+def test_workload_b_rule_rect(cari_workload):
+    # non-square => B = A^T (gemm.rs:41-53)
+    a = cari_workload.a.to_scipy()
+    b = cari_workload.b.to_scipy()
+    assert (b != a.T.tocsr()).nnz == 0
+
+
+def test_sort_by_length_and_restore():
+    a = random_csr(50, 40, 0.1, seed=2)
+    w = GemmWorkload.from_matrix("r", a).preprocess_sorted()
+    lens = w.a.row_lens()
+    assert np.all(np.diff(lens) >= 0)  # ascending nnz
+    # product with reordered A then restored == oracle on original order
+    c_perm = (w.a.to_scipy() @ w.b.to_scipy()).tocsr()
+    c = w.restore_row_order(CsrMatrix.from_scipy(c_perm))
+    ref = (a.to_scipy() @ w.b.to_scipy()).tocsr()
+    np.testing.assert_allclose(c.todense(), ref.toarray(), rtol=1e-12)
+
+
+def test_pickled_gemms(tmp_path):
+    import pickle
+
+    a = sp.random(12, 8, 0.3, format="csr", random_state=0)
+    b = sp.random(8, 10, 0.4, format="coo", random_state=1)
+    p = tmp_path / "nn.pkl"
+    with open(p, "wb") as f:
+        pickle.dump({"layer0": (a, b)}, f)
+    w = load_pickled_gemms(str(p), "layer0")
+    np.testing.assert_allclose(w.a.todense(), a.toarray())
+    np.testing.assert_allclose(w.b.todense(), b.toarray())
+    with pytest.raises(KeyError):
+        load_pickled_gemms(str(p), "nope")
+
+
+def test_csr_roundtrip_coo_duplicates():
+    # duplicate coordinates must sum (COO semantics)
+    m = CsrMatrix.from_coo((2, 2), [0, 0, 1], [1, 1, 0], [1.0, 2.0, 5.0])
+    np.testing.assert_allclose(m.todense(), [[0, 3.0], [5.0, 0]])
+
+
+def test_transpose(cari):
+    t = cari.transpose()
+    ref = cari.to_scipy().T.tocsr()
+    assert (t.to_scipy() != ref).nnz == 0

@@ -1,0 +1,43 @@
+"""BSR construction tests — tile decomposition must be lossless."""
+
+import numpy as np
+
+from spada_tpu.io.workloads import powerlaw_csr, random_csr
+from spada_tpu.sparse.bsr import BsrMatrix, tiles_of_csr
+
+
+def test_bsr_roundtrip_random():
+    a = random_csr(100, 300, 0.05, seed=3)
+    for tm in (8, 32, 128):
+        b = BsrMatrix.from_csr(a, tm, 128)
+        np.testing.assert_allclose(b.todense(), a.todense().astype(np.float32), rtol=1e-6)
+
+
+def test_bsr_roundtrip_cari(cari):
+    b = BsrMatrix.from_csr(cari, 64, 128)
+    np.testing.assert_allclose(b.todense(), cari.todense().astype(np.float32), rtol=1e-6)
+
+
+def test_bsr_counts(cari):
+    b = BsrMatrix.from_csr(cari, 8, 128)
+    assert int(b.nnz_per_tile.sum()) == cari.nnz
+    trow, tcol, counts = tiles_of_csr(cari, 8, 128)
+    assert counts.sum() == cari.nnz
+    assert len(trow) == b.n_tiles
+    np.testing.assert_array_equal(tcol, b.tile_col)
+
+
+def test_bsr_empty():
+    from spada_tpu.sparse.csr import CsrMatrix
+
+    a = CsrMatrix((16, 16), np.zeros(17, dtype=np.int64), [], [])
+    b = BsrMatrix.from_csr(a, 8, 128)
+    assert np.all(b.todense() == 0)
+
+
+def test_bsr_occupancy_signal():
+    dense_ish = random_csr(128, 128, 0.5, seed=4)
+    sparse = powerlaw_csr(1024, 1024, 3.0, seed=5)
+    b1 = BsrMatrix.from_csr(dense_ish, 128, 128)
+    b2 = BsrMatrix.from_csr(sparse, 128, 128)
+    assert b1.occupancy() > b2.occupancy()
