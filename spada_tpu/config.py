@@ -60,6 +60,7 @@ class SpadaConfig:
     dataflow: str = "spada"              # 'spada' | 'ip' | 'op' | 'rowwise'
     vmem_limit_bytes: Optional[int] = None
     use_pallas: Optional[bool] = None    # None = auto (pallas on TPU, XLA else)
+    precision: str = "highest"           # 'highest' (true f32) | 'default' (bf16 MXU)
     acc_dtype: str = "float32"
     # memory budget for densifying C in the outer-product path (bytes)
     dense_c_budget: int = 2 << 30

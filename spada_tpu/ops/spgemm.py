@@ -1,0 +1,156 @@
+"""Public SpGEMM entry point: C = A @ B for sparse A, B.
+
+The dataflow axis mirrors the reference accelerator enum
+(``Ip | Op | MultiRow | Spada``, frontend.rs:36-41), re-realized as schedule
+variants of the tile engine:
+
+- ``'ip'``     inner-product / output-stationary: fixed 128-row panels,
+               row-major schedule.
+- ``'op'``     outer-product: k-major schedule with scatter-accumulated HBM
+               psums (the reference's ``[lane_num, 1]`` column-window mode,
+               main.rs:70).
+- ``'rowwise'`` row-wise Gustavson with a fixed moderate panel height
+               (the ``MultiRow`` accelerator).
+- ``'spada'``  adaptive: per-row-group panel heights picked by the planner
+               (plan/), the TPU realization of the adaptive block shapes of
+               rowwise_perf_adjust.rs.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import time
+from typing import Optional
+
+import numpy as np
+
+from spada_tpu.config import SpadaConfig
+from spada_tpu.ops.engine import run_worklist_pallas, run_worklist_xla, _on_tpu
+from spada_tpu.ops.worklist import WorkList, build_worklist
+from spada_tpu.sparse.bsr import BsrMatrix
+from spada_tpu.sparse.csr import CsrMatrix
+
+
+@dataclasses.dataclass
+class SpGemmResult:
+    """Numeric result (block-sparse) plus execution metadata."""
+
+    shape: tuple
+    tm: int
+    tn: int
+    c_tiles: np.ndarray          # [nC, tm, tn] f32 (device or host array)
+    c_tile_row: np.ndarray
+    c_tile_col: np.ndarray
+    n_work_items: int = 0
+    mxu_flops: int = 0           # FLOPs actually issued to the MXU
+    useful_flops: int = 0        # 2 * scalar multiply count (the algorithmic work)
+    elapsed_s: Optional[float] = None
+
+    def todense(self) -> np.ndarray:
+        tiles = np.asarray(self.c_tiles)
+        n_tile_cols = -(-self.shape[1] // self.tn)
+        n_tile_rows = -(-self.shape[0] // self.tm)
+        d = np.zeros((n_tile_rows * self.tm, n_tile_cols * self.tn), np.float32)
+        for t in range(tiles.shape[0]):
+            r0 = int(self.c_tile_row[t]) * self.tm
+            c0 = int(self.c_tile_col[t]) * self.tn
+            d[r0 : r0 + self.tm, c0 : c0 + self.tn] = tiles[t]
+        return d[: self.shape[0], : self.shape[1]]
+
+    def to_csr(self, prune_eps: float = 0.0) -> CsrMatrix:
+        """Extract CSR from the block-sparse result (the rebuild's
+        ``get_exec_result``, simulator.rs:1034-1062)."""
+        tiles = np.asarray(self.c_tiles)
+        t, r, c = np.nonzero(np.abs(tiles) > prune_eps)
+        rows = self.c_tile_row[t].astype(np.int64) * self.tm + r
+        cols = self.c_tile_col[t].astype(np.int64) * self.tn + c
+        keep = (rows < self.shape[0]) & (cols < self.shape[1])
+        return CsrMatrix.from_coo(
+            self.shape, rows[keep], cols[keep], tiles[t, r, c][keep]
+        )
+
+    @property
+    def nnz_tiles(self) -> int:
+        return int(np.asarray(self.c_tiles).shape[0])
+
+
+def _count_useful_flops(a: CsrMatrix, b: CsrMatrix) -> int:
+    """2 * Σ_k nnz(A[:,k]) * nnz(B[k,:]) — the scalar multiply count."""
+    a_col_counts = np.bincount(a.indices, minlength=a.shape[1])
+    b_row_lens = np.diff(b.indptr)
+    return int(2 * np.dot(a_col_counts.astype(np.int64), b_row_lens.astype(np.int64)))
+
+
+def spgemm(
+    a: CsrMatrix,
+    b: CsrMatrix,
+    config: Optional[SpadaConfig] = None,
+    dataflow: Optional[str] = None,
+    tm: Optional[int] = None,
+    plan=None,
+    dtype=np.float32,
+) -> SpGemmResult:
+    """Sparse-times-sparse matrix multiply on TPU.
+
+    For ``dataflow='spada'`` a planner-produced :class:`ExecutionPlan` may be
+    passed (see spada_tpu.plan); otherwise a single uniform panel height is
+    used.
+    """
+    config = config or SpadaConfig()
+    dataflow = dataflow or config.dataflow
+    if dataflow not in ("spada", "ip", "op", "rowwise"):
+        raise ValueError(
+            f"unknown dataflow {dataflow!r}; expected spada|ip|op|rowwise"
+        )
+    if a.shape[1] != b.shape[0]:
+        raise ValueError(f"shape mismatch {a.shape} @ {b.shape}")
+
+    if dataflow == "spada" and plan is not None:
+        from spada_tpu.plan.planner import execute_plan
+
+        return execute_plan(a, b, plan, config)
+
+    if tm is None:
+        tm = {"ip": 128, "op": 8, "rowwise": 32}.get(dataflow, config.default_tm)
+
+    order = "k" if dataflow == "op" else "row"
+    a_bsr = BsrMatrix.from_csr(a, tm, config.tile_k, dtype=dtype)
+    b_bsr = BsrMatrix.from_csr(b, config.tile_k, config.tile_n, dtype=dtype)
+    wl = build_worklist(a_bsr, b_bsr, order=order)
+
+    if wl.n_items == 0:
+        return SpGemmResult(
+            shape=(a.shape[0], b.shape[1]), tm=tm, tn=config.tile_n,
+            c_tiles=np.zeros((0, tm, config.tile_n), np.float32),
+            c_tile_row=wl.c_tile_row, c_tile_col=wl.c_tile_col,
+            useful_flops=0, mxu_flops=0,
+        )
+
+    use_pallas = config.use_pallas
+    if use_pallas is None:
+        use_pallas = _on_tpu()
+    if order == "k":
+        use_pallas = False  # k-major needs scatter accumulation
+
+    t0 = time.perf_counter()
+    if use_pallas:
+        c_tiles = run_worklist_pallas(
+            a_bsr.tiles, b_bsr.tiles, wl.a_tid, wl.b_tid, wl.o_tid, wl.first,
+            n_c_tiles=wl.n_c_tiles, precision=config.precision,
+        )
+    else:
+        c_tiles = run_worklist_xla(
+            a_bsr.tiles, b_bsr.tiles, wl.a_tid, wl.b_tid, wl.o_tid,
+            n_c_tiles=wl.n_c_tiles, precision=config.precision,
+        )
+    c_tiles = np.asarray(c_tiles)  # block until done
+    elapsed = time.perf_counter() - t0
+
+    return SpGemmResult(
+        shape=(a.shape[0], b.shape[1]), tm=tm, tn=config.tile_n,
+        c_tiles=c_tiles, c_tile_row=wl.c_tile_row, c_tile_col=wl.c_tile_col,
+        n_work_items=wl.n_items,
+        mxu_flops=2 * wl.n_items * tm * config.tile_k * config.tile_n,
+        useful_flops=_count_useful_flops(a, b),
+        elapsed_s=elapsed,
+    )

@@ -1,0 +1,116 @@
+"""SpGEMM numerical-oracle tests: every path vs scipy.sparse products
+(the reference's implicit ground truth, SURVEY.md §4)."""
+
+import numpy as np
+import pytest
+
+from spada_tpu.config import SpadaConfig
+from spada_tpu.io.workloads import banded_csr, powerlaw_csr, random_csr
+from spada_tpu.ops import spgemm
+from spada_tpu.ops.worklist import build_worklist
+from spada_tpu.sparse.bsr import BsrMatrix
+
+
+def _check(a, b, dataflow, tm=None, rtol=1e-4, atol=1e-5, **kw):
+    res = spgemm(a, b, dataflow=dataflow, tm=tm, **kw)
+    ref = (a.to_scipy() @ b.to_scipy()).toarray().astype(np.float32)
+    np.testing.assert_allclose(res.todense(), ref, rtol=rtol, atol=atol)
+    return res
+
+
+@pytest.mark.parametrize("dataflow", ["ip", "op", "rowwise", "spada"])
+def test_small_random_all_dataflows(dataflow):
+    a = random_csr(100, 80, 0.1, seed=10)
+    b = random_csr(80, 150, 0.15, seed=11)
+    _check(a, b, dataflow)
+
+
+def test_cari_product(cari_workload):
+    w = cari_workload
+    res = _check(w.a, w.b, "spada", rtol=1e-3, atol=1e-3)
+    # C = A @ A^T on cari is fully dense 400x400
+    assert res.to_csr().shape == (400, 400)
+
+
+@pytest.mark.parametrize("tm", [8, 16, 32, 64, 128])
+def test_panel_heights(tm):
+    a = powerlaw_csr(300, 200, 5.0, seed=12)
+    b = random_csr(200, 300, 0.05, seed=13)
+    _check(a, b, "spada", tm=tm)
+
+
+def test_pallas_interpret_matches_xla():
+    # differential: pallas megakernel (interpret on CPU) vs XLA engine
+    a = random_csr(64, 64, 0.2, seed=14)
+    b = random_csr(64, 64, 0.2, seed=15)
+    cfg_p = SpadaConfig(use_pallas=True)
+    cfg_x = SpadaConfig(use_pallas=False)
+    rp = spgemm(a, b, config=cfg_p, dataflow="rowwise")
+    rx = spgemm(a, b, config=cfg_x, dataflow="rowwise")
+    np.testing.assert_allclose(rp.todense(), rx.todense(), rtol=1e-5, atol=1e-6)
+
+
+def test_empty_matrices():
+    from spada_tpu.sparse.csr import CsrMatrix
+
+    a = CsrMatrix((10, 20), np.zeros(11, np.int64), [], [])
+    b = random_csr(20, 30, 0.2, seed=16)
+    res = spgemm(a, b, dataflow="spada")
+    assert np.all(res.todense() == 0)
+
+
+def test_disjoint_structure():
+    # A's columns never hit B's nonzero rows -> empty C
+    from spada_tpu.sparse.csr import CsrMatrix
+
+    a = CsrMatrix.from_coo((8, 16), [0, 3], [0, 1], [1.0, 2.0])
+    b = CsrMatrix.from_coo((16, 8), [10, 12], [0, 1], [3.0, 4.0])
+    res = spgemm(a, b, dataflow="spada")
+    assert np.all(res.todense() == 0)
+
+
+def test_banded_chain():
+    a = banded_csr(256, 256, 4, seed=17)
+    b = banded_csr(256, 256, 4, seed=18)
+    _check(a, b, "spada", tm=64)
+
+
+def test_shape_mismatch_raises():
+    a = random_csr(10, 20, 0.2)
+    b = random_csr(21, 10, 0.2)
+    with pytest.raises(ValueError):
+        spgemm(a, b)
+
+
+def test_worklist_symbolic_matches_scipy():
+    # tile-level symbolic structure of C must cover scipy's element structure
+    a = random_csr(200, 100, 0.03, seed=19)
+    b = random_csr(100, 200, 0.03, seed=20)
+    a_bsr = BsrMatrix.from_csr(a, 32, 128)
+    b_bsr = BsrMatrix.from_csr(b, 128, 128)
+    wl = build_worklist(a_bsr, b_bsr)
+    ref = (a.to_scipy() @ b.to_scipy()).tocsr()
+    rows, cols = ref.nonzero()
+    ref_tiles = set(zip(rows // 32, cols // 128))
+    got_tiles = set(zip(wl.c_tile_row.tolist(), wl.c_tile_col.tolist()))
+    assert ref_tiles <= got_tiles  # symbolic is an upper bound on true structure
+
+
+def test_worklist_first_flags():
+    a = random_csr(64, 64, 0.2, seed=21)
+    b = random_csr(64, 64, 0.2, seed=22)
+    wl = build_worklist(BsrMatrix.from_csr(a, 8, 128), BsrMatrix.from_csr(b, 128, 128))
+    # o_tid must be non-decreasing with 'first' exactly at run starts
+    assert np.all(np.diff(wl.o_tid) >= 0)
+    expect_first = np.r_[1, (np.diff(wl.o_tid) != 0).astype(np.int32)]
+    np.testing.assert_array_equal(wl.first, expect_first)
+
+
+def test_useful_flops_count(cari_workload):
+    w = cari_workload
+    res = spgemm(w.a, w.b, dataflow="spada")
+    # cari rows all have 382 nnz; flops = 2 * sum_k nnz_Acol_k * nnz_Brow_k
+    a_col = np.bincount(w.a.indices, minlength=w.a.shape[1]).astype(np.int64)
+    b_rows = w.b.row_lens()
+    assert res.useful_flops == 2 * int((a_col * b_rows).sum())
+    assert res.mxu_flops >= res.useful_flops
