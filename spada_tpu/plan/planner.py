@@ -1,0 +1,252 @@
+"""The adaptive planner: row groups -> per-group panel heights -> execution.
+
+This is the TPU-native re-realization of the Spada adaptive scheduler: where
+the simulator adjusts block shapes *during* execution from per-block feedback
+(scheduler.rs:667-727 dispatching to the four adjust schemes), the planner
+makes the same decision *before* jit execution so the device graph stays
+static:
+
+- ``scheme='analytic'`` (default): sweep every candidate panel height per row
+  group through the exact tile-engine byte model
+  (:func:`spada_tpu.plan.estimator.panel_cost_model`) and commit the argmin —
+  the closed-form equivalent of scheme 0's sample-then-commit.
+- ``scheme='profiled'``: measure actual kernel latency per candidate on a
+  sampled prefix of each wide group (the scheme-3 signal,
+  rowwise_perf_adjust.rs:121-231) and commit the argmin latency/element.
+
+``execute_plan`` then runs one engine launch per distinct panel height
+(static shapes per launch) and stitches the block-sparse results.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import time
+from typing import Callable, List, Optional
+
+import numpy as np
+
+from spada_tpu.config import SpadaConfig
+from spada_tpu.plan.estimator import BTileStructure, panel_cost_model
+from spada_tpu.plan.groups import parse_group
+from spada_tpu.sparse.bsr import BsrMatrix
+from spada_tpu.sparse.csr import CsrMatrix
+
+
+@dataclasses.dataclass
+class PanelSpec:
+    row_start: int
+    row_end: int
+    tm: int
+
+
+@dataclasses.dataclass
+class ExecutionPlan:
+    panels: List[PanelSpec]
+    tile_k: int = 128
+    tile_n: int = 128
+    meta: dict = dataclasses.field(default_factory=dict)
+
+    def tm_histogram(self) -> dict:
+        h: dict = {}
+        for p in self.panels:
+            h[p.tm] = h.get(p.tm, 0) + (p.row_end - p.row_start)
+        return h
+
+
+def plan_spgemm(
+    a: CsrMatrix,
+    b: CsrMatrix,
+    config: Optional[SpadaConfig] = None,
+    scheme: str = "analytic",
+    measure: Optional[Callable[[int, int, int], float]] = None,
+) -> ExecutionPlan:
+    """Produce per-row-group panel heights.
+
+    ``measure(row_start, row_end, tm) -> seconds`` enables profile-guided
+    planning ('profiled'); required there, ignored for 'analytic'.
+    """
+    config = config or SpadaConfig()
+    groups = parse_group(a.row_lens(), config.var_factor)
+    bt = BTileStructure(b, config.tile_k, config.tile_n)
+    panels: List[PanelSpec] = []
+    group_costs = []
+    for gi in groups.groups:
+        s, e = gi.row_range
+        if a.get_ele_num(s, e) == 0:
+            panels.append(PanelSpec(s, e, config.default_tm))
+            continue
+        best_tm, best_cost = config.default_tm, float("inf")
+        per_tm = {}
+        for tm in config.tm_choices:
+            if scheme == "profiled" and measure is not None:
+                # sample a prefix of the group (sample_num panels' worth)
+                span = min(e - s, config.sample_num * tm)
+                cost = measure(s, s + span, tm) / max(span, 1)
+            else:
+                cost = panel_cost_model(a, s, e, tm, bt)["cost"]
+            per_tm[tm] = cost
+            if cost < best_cost:
+                best_cost, best_tm = cost, tm
+        group_costs.append(per_tm)
+        panels.append(PanelSpec(s, e, best_tm))
+
+    # merge adjacent same-height groups into single panels
+    merged: List[PanelSpec] = []
+    for p in panels:
+        if merged and merged[-1].tm == p.tm and merged[-1].row_end == p.row_start:
+            merged[-1] = PanelSpec(merged[-1].row_start, p.row_end, p.tm)
+        else:
+            merged.append(p)
+    return ExecutionPlan(
+        merged, config.tile_k, config.tile_n,
+        meta={"scheme": scheme, "n_groups": groups.n_groups,
+              "group_costs": group_costs},
+    )
+
+
+# ----------------------------------------------------------------------------
+# Plan execution
+# ----------------------------------------------------------------------------
+
+@dataclasses.dataclass
+class _Segment:
+    tm: int
+    result: object                 # SpGemmResult
+    tile_row_to_global: np.ndarray  # int64 [n_local_tile_rows] -> global row base
+
+
+@dataclasses.dataclass
+class PlanResult:
+    """Mixed-panel-height SpGEMM result (same surface as SpGemmResult)."""
+
+    shape: tuple
+    segments: List[_Segment]
+    n_work_items: int = 0
+    mxu_flops: int = 0
+    useful_flops: int = 0
+    elapsed_s: Optional[float] = None
+
+    def todense(self) -> np.ndarray:
+        d = np.zeros(self.shape, np.float32)
+        for seg in self.segments:
+            tiles = np.asarray(seg.result.c_tiles)
+            tn = seg.result.tn
+            for t in range(tiles.shape[0]):
+                g0 = int(seg.tile_row_to_global[seg.result.c_tile_row[t]])
+                c0 = int(seg.result.c_tile_col[t]) * tn
+                h = min(seg.tm, self.shape[0] - g0)
+                w = min(tn, self.shape[1] - c0)
+                if h > 0 and w > 0:
+                    # += not =: a panel's last tile pads past the panel end
+                    # into rows owned by another segment; padded rows are
+                    # exactly zero, so accumulation composes segments safely
+                    d[g0 : g0 + h, c0 : c0 + w] += tiles[t, :h, :w]
+        return d
+
+    def to_csr(self) -> CsrMatrix:
+        rows_all, cols_all, vals_all = [], [], []
+        for seg in self.segments:
+            tiles = np.asarray(seg.result.c_tiles)
+            t, r, c = np.nonzero(tiles)
+            rows = seg.tile_row_to_global[seg.result.c_tile_row[t]] + r
+            cols = seg.result.c_tile_col[t].astype(np.int64) * seg.result.tn + c
+            keep = (rows < self.shape[0]) & (cols < self.shape[1])
+            rows_all.append(rows[keep])
+            cols_all.append(cols[keep])
+            vals_all.append(tiles[t, r, c][keep])
+        if rows_all:
+            return CsrMatrix.from_coo(
+                self.shape,
+                np.concatenate(rows_all),
+                np.concatenate(cols_all),
+                np.concatenate(vals_all),
+            )
+        return CsrMatrix(self.shape, np.zeros(self.shape[0] + 1, np.int64), [], [])
+
+
+def _slice_rows_padded(a: CsrMatrix, panels: List[PanelSpec], tm: int):
+    """Stack the rows of all panels with this tm into one CSR, each panel
+    padded with empty rows to a multiple of tm.  Returns (csr, tile_row_base)
+    where tile_row_base[i] is the global row of local tile-row i."""
+    lens = a.row_lens()
+    seg_lens, seg_idx, bases = [], [], []
+    for p in panels:
+        n_rows = p.row_end - p.row_start
+        n_tiles = -(-n_rows // tm)
+        pad = n_tiles * tm - n_rows
+        seg_lens.append(lens[p.row_start : p.row_end])
+        if pad:
+            seg_lens.append(np.zeros(pad, np.int64))
+        seg_idx.append(
+            np.arange(a.indptr[p.row_start], a.indptr[p.row_end], dtype=np.int64)
+        )
+        bases.extend(p.row_start + tm * np.arange(n_tiles))
+    lens_local = np.concatenate(seg_lens) if seg_lens else np.zeros(0, np.int64)
+    idx = np.concatenate(seg_idx) if seg_idx else np.zeros(0, np.int64)
+    indptr = np.zeros(len(lens_local) + 1, np.int64)
+    indptr[1:] = np.cumsum(lens_local)
+    sub = CsrMatrix(
+        (len(lens_local), a.shape[1]), indptr, a.indices[idx], a.data[idx]
+    )
+    return sub, np.asarray(bases, dtype=np.int64)
+
+
+def execute_plan(
+    a: CsrMatrix, b: CsrMatrix, plan: ExecutionPlan, config: Optional[SpadaConfig] = None
+) -> PlanResult:
+    from spada_tpu.ops.engine import _on_tpu, run_worklist_pallas, run_worklist_xla
+    from spada_tpu.ops.spgemm import _count_useful_flops
+    from spada_tpu.ops.worklist import build_worklist
+
+    config = config or SpadaConfig()
+    use_pallas = config.use_pallas if config.use_pallas is not None else _on_tpu()
+
+    b_bsr = BsrMatrix.from_csr(b, plan.tile_k, plan.tile_n, dtype=np.float32)
+
+    by_tm = {}
+    for p in plan.panels:
+        by_tm.setdefault(p.tm, []).append(p)
+
+    segments = []
+    n_work = 0
+    mxu = 0
+    t0 = time.perf_counter()
+    for tm, panels in sorted(by_tm.items()):
+        sub, bases = _slice_rows_padded(a, panels, tm)
+        if sub.nnz == 0:
+            continue
+        a_bsr = BsrMatrix.from_csr(sub, tm, plan.tile_k, dtype=np.float32)
+        wl = build_worklist(a_bsr, b_bsr, order="row")
+        if wl.n_items == 0:
+            continue
+        if use_pallas:
+            c_tiles = run_worklist_pallas(
+                a_bsr.tiles, b_bsr.tiles, wl.a_tid, wl.b_tid, wl.o_tid,
+                wl.first, n_c_tiles=wl.n_c_tiles, precision=config.precision,
+            )
+        else:
+            c_tiles = run_worklist_xla(
+                a_bsr.tiles, b_bsr.tiles, wl.a_tid, wl.b_tid, wl.o_tid,
+                n_c_tiles=wl.n_c_tiles, precision=config.precision,
+            )
+        from spada_tpu.ops.spgemm import SpGemmResult
+
+        res = SpGemmResult(
+            shape=(sub.shape[0], b.shape[1]), tm=tm, tn=plan.tile_n,
+            c_tiles=np.asarray(c_tiles), c_tile_row=wl.c_tile_row,
+            c_tile_col=wl.c_tile_col, n_work_items=wl.n_items,
+        )
+        segments.append(_Segment(tm, res, bases))
+        n_work += wl.n_items
+        mxu += 2 * wl.n_items * tm * plan.tile_k * plan.tile_n
+    elapsed = time.perf_counter() - t0
+
+    return PlanResult(
+        shape=(a.shape[0], b.shape[1]),
+        segments=segments,
+        n_work_items=n_work,
+        mxu_flops=mxu,
+        useful_flops=_count_useful_flops(a, b),
+        elapsed_s=elapsed,
+    )
