@@ -1,0 +1,185 @@
+"""Command-line driver.
+
+Mirrors the reference CLI ergonomics
+(``spada-sim <mode> <accelerator> <category> <workload> <config> [-p]``,
+frontend.rs:52-75 + main.rs:30-121) with real execution modes:
+
+- ``run``      execute the SpGEMM on hardware (TPU if available, else the
+               XLA CPU engine) and report perf + modeled traffic — the
+               rebuild of ``AccurateSimu``.
+- ``traffic``  functional traffic model only (no device): the capability of
+               the legacy ``TrafficModel`` mode (storage_traffic_model.rs).
+- ``breuse``   B/C-reuse analysis — implements the ``BReuseCounter`` mode the
+               reference advertises but panics on (main.rs:119).
+- ``plan``     show the adaptive planner's decisions without executing.
+
+Dataflow argument maps the accelerator enum (frontend.rs:36-41):
+``ip | op | rowwise (MultiRow) | spada``.  Category is ``SS`` (SuiteSparse
+.mtx under ``ss_filepath``) or ``NN`` (pickled {name: (A, B)} GEMMs at
+``nn_filepath``, py2rust.rs:5-60).  ``-p`` applies ascending-row-nnz
+preprocessing (preprocessing.rs:76-89).
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+
+import numpy as np
+
+from spada_tpu.config import SpadaConfig
+from spada_tpu.io.workloads import GemmWorkload, load_pickled_gemms
+from spada_tpu.utils.metrics import PerfReport, format_report
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(
+        prog="spada_tpu",
+        description="TPU-native adaptive-dataflow SpGEMM (spada-sim rebuilt)",
+    )
+    p.add_argument("mode", choices=["run", "traffic", "breuse", "plan"])
+    p.add_argument("dataflow", choices=["ip", "op", "rowwise", "spada"],
+                   help="dataflow / accelerator analog")
+    p.add_argument("category", choices=["SS", "NN", "ss", "nn"])
+    p.add_argument("workload", help="matrix name (SS) or gemm name (NN)")
+    p.add_argument("config", nargs="?", default=None, help="config JSON path")
+    p.add_argument("-p", "--preprocess", action="store_true",
+                   help="row-nnz-ascending reorder (preprocessing.rs:76-89)")
+    p.add_argument("--no-result", action="store_true",
+                   help="skip printing the first rows of C")
+    p.add_argument("--window-k", type=int, default=None,
+                   help="traffic mode: A-scalars per window (default full-K)")
+    return p
+
+
+def load_workload(args, config: SpadaConfig) -> GemmWorkload:
+    if args.category.upper() == "SS":
+        w = GemmWorkload.from_suitesparse(config.ss_filepath, args.workload)
+    else:
+        w = load_pickled_gemms(config.nn_filepath, args.workload)
+    if args.preprocess:
+        w = w.preprocess_sorted()
+    return w
+
+
+def _print_gemm_stats(w: GemmWorkload) -> None:
+    print(f"GEMM {w.name}: A {w.a.shape} nnz {w.a.nnz}  "
+          f"B {w.b.shape} nnz {w.b.nnz}"
+          + ("  [preprocessed]" if w.row_remap is not None else ""))
+
+
+def _print_first_rows(c, w: GemmWorkload, n: int = 10) -> None:
+    """First <=10 rows of C in original row ids (main.rs:113-116)."""
+    c = w.restore_row_order(c)
+    for i in range(min(n, c.shape[0])):
+        cols, vals = c.row(i)
+        head = ", ".join(
+            f"({int(j)}: {v:.4g})" for j, v in list(zip(cols, vals))[:8]
+        )
+        more = " ..." if len(cols) > 8 else ""
+        print(f"  C[{i}] ({len(cols)} nnz): {head}{more}")
+
+
+def cmd_run(args, config: SpadaConfig, w: GemmWorkload) -> int:
+    import jax
+
+    from spada_tpu.ops.spgemm import spgemm
+    from spada_tpu.models.traffic import simulate_traffic
+
+    dataflow = args.dataflow
+    plan = None
+    if dataflow == "spada":
+        from spada_tpu.plan.planner import plan_spgemm
+
+        plan = plan_spgemm(w.a, w.b, config)
+        print(f"plan: {len(plan.panels)} panels, tm histogram "
+              f"{plan.tm_histogram()}")
+
+    res = spgemm(w.a, w.b, config, dataflow=dataflow, plan=plan)
+    # warmed re-run for steady-state timing (first call pays compile)
+    res = spgemm(w.a, w.b, config, dataflow=dataflow, plan=plan)
+
+    c = res.to_csr()
+    perf = PerfReport(
+        workload=w.name, dataflow=dataflow, elapsed_s=res.elapsed_s,
+        useful_flops=res.useful_flops, mxu_flops=res.mxu_flops, nnz_c=c.nnz,
+        hbm_bytes_model=_tile_bytes(res), n_work_items=res.n_work_items,
+        backend=jax.default_backend(),
+    )
+    traffic = simulate_traffic(
+        w.a, w.b, config, compute_values=False
+    ).report
+    print(format_report(perf, traffic, config))
+    if not args.no_result:
+        _print_first_rows(c, w)
+    return 0
+
+
+def _tile_bytes(res) -> int:
+    """Tile-engine HBM byte model: A+B tiles per work item, C tiles once."""
+    if hasattr(res, "segments"):  # PlanResult
+        total = 0
+        for seg in res.segments:
+            r = seg.result
+            total += r.n_work_items * (seg.tm * 128 + 128 * r.tn) * 4
+            total += np.asarray(r.c_tiles).shape[0] * seg.tm * r.tn * 4
+        return total
+    tiles = np.asarray(res.c_tiles)
+    return (res.n_work_items * (res.tm * 128 + 128 * res.tn) * 4
+            + tiles.shape[0] * res.tm * res.tn * 4)
+
+
+def cmd_traffic(args, config: SpadaConfig, w: GemmWorkload) -> int:
+    from spada_tpu.models.traffic import simulate_traffic
+
+    res = simulate_traffic(w.a, w.b, config, window_k=args.window_k)
+    print("functional traffic model (reference counter semantics):")
+    for k, v in res.report.as_dict().items():
+        print(f"  {k}: {v}")
+    if not args.no_result:
+        _print_first_rows(res.c, w)
+    return 0
+
+
+def cmd_breuse(args, config: SpadaConfig, w: GemmWorkload) -> int:
+    from spada_tpu.models.traffic import simulate_traffic
+
+    res = simulate_traffic(w.a, w.b, config, compute_values=False)
+    r = res.report
+    print(f"b_reuse: {r.b_reuse:.4f}  (touched {r.b_touched_words} / "
+          f"distinct {r.b_distinct_words} words)")
+    print(f"c_reuse: {r.c_reuse:.4f}  (touched {r.c_touched_words} / "
+          f"final {r.c_final_words} words)")
+    print(f"cache hit ratio: "
+          f"{1 - r.cache.miss_count / max(r.b_touched_words, 1):.4f}")
+    return 0
+
+
+def cmd_plan(args, config: SpadaConfig, w: GemmWorkload) -> int:
+    from spada_tpu.plan.planner import plan_spgemm
+
+    plan = plan_spgemm(w.a, w.b, config)
+    print(f"{len(plan.panels)} panels over {w.a.shape[0]} rows "
+          f"({plan.meta['n_groups']} row groups)")
+    print(f"tm histogram (height -> rows): {plan.tm_histogram()}")
+    for p in plan.panels[:20]:
+        print(f"  rows [{p.row_start}, {p.row_end})  tm={p.tm}")
+    if len(plan.panels) > 20:
+        print(f"  ... {len(plan.panels) - 20} more")
+    return 0
+
+
+def main(argv=None) -> int:
+    args = build_parser().parse_args(argv)
+    config = SpadaConfig.from_json(args.config) if args.config else SpadaConfig()
+    config.dataflow = args.dataflow
+    w = load_workload(args, config)
+    _print_gemm_stats(w)
+    return {
+        "run": cmd_run, "traffic": cmd_traffic,
+        "breuse": cmd_breuse, "plan": cmd_plan,
+    }[args.mode](args, config, w)
+
+
+if __name__ == "__main__":
+    sys.exit(main())
