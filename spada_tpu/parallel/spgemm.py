@@ -1,0 +1,149 @@
+"""Device-side sharded SpGEMM over a (dp, tp) mesh.
+
+One ``shard_map`` launch: every (dp, tp) shard runs the tile engine on its
+local worklist; the partial C tiles produced by the tp shards of a dp row
+panel are combined with ``jax.lax.psum`` over ``tp`` — the distributed
+psum-merge (SURVEY.md §5.7/5.8: the reference's merge-task graph,
+scheduler.rs:381-480, as an ICI collective).  C stays sharded over ``dp``
+(each device owns its row panel), so the only cross-device traffic is the
+tp-merge; dp is communication-free, matching the row-partitioned Gustavson
+decomposition.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, PartitionSpec as P
+
+from spada_tpu.parallel.partition import ShardedProblem
+from spada_tpu.sparse.csr import CsrMatrix
+
+
+def _local_engine(a_tid, b_tid, o_tid, a_tiles, b_tiles, n_c_tiles: int,
+                  chunk: int, precision):
+    """Scatter-accumulate tile engine on one shard's local worklist.
+
+    Output has one extra dump slot (index ``n_c_tiles``) that absorbs padded
+    work items; the caller drops it.
+    """
+    W = a_tid.shape[0]
+    tm, tn = a_tiles.shape[1], b_tiles.shape[2]
+    c = jnp.zeros((n_c_tiles + 1, tm, tn), jnp.float32)
+    n_chunks = -(-W // chunk) if W else 0
+    for s in range(n_chunks):
+        sl = slice(s * chunk, min((s + 1) * chunk, W))
+        part = jax.lax.dot_general(
+            a_tiles[a_tid[sl]], b_tiles[b_tid[sl]],
+            dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+            precision=precision,
+        )
+        c = c.at[o_tid[sl]].add(part)
+    return c
+
+
+@dataclasses.dataclass
+class ShardedResult:
+    """C tiles per dp panel plus assembly metadata."""
+
+    problem: ShardedProblem
+    c_tiles: np.ndarray       # [n_dp, nCmax+1, tm, tn] (last slot = dump)
+
+    def todense(self) -> np.ndarray:
+        p = self.problem
+        d = np.zeros(p.shape, np.float32)
+        for dp in range(p.n_dp):
+            nC = int(p.n_c_tiles[dp])
+            for t in range(nC):
+                r0 = int(p.row_base[dp]) + int(self.c_tile_row[dp, t]) * p.tm
+                c0 = int(self.c_tile_col[dp, t]) * p.tn
+                h = min(p.tm, p.shape[0] - r0)
+                w = min(p.tn, p.shape[1] - c0)
+                if h > 0 and w > 0:
+                    d[r0 : r0 + h, c0 : c0 + w] += self.c_tiles[dp, t, :h, :w]
+        return d
+
+    @property
+    def c_tile_row(self):
+        return self.problem.c_tile_row
+
+    @property
+    def c_tile_col(self):
+        return self.problem.c_tile_col
+
+    def to_csr(self) -> CsrMatrix:
+        p = self.problem
+        rows_all, cols_all, vals_all = [], [], []
+        for dp in range(p.n_dp):
+            nC = int(p.n_c_tiles[dp])
+            tiles = self.c_tiles[dp, :nC]
+            t, r, c = np.nonzero(tiles)
+            rows = p.row_base[dp] + p.c_tile_row[dp, t].astype(np.int64) * p.tm + r
+            cols = p.c_tile_col[dp, t].astype(np.int64) * p.tn + c
+            keep = (rows < p.shape[0]) & (cols < p.shape[1])
+            rows_all.append(rows[keep])
+            cols_all.append(cols[keep])
+            vals_all.append(tiles[t, r, c][keep])
+        if not rows_all:
+            return CsrMatrix(
+                p.shape, np.zeros(p.shape[0] + 1, np.int64), [], []
+            )
+        return CsrMatrix.from_coo(
+            p.shape,
+            np.concatenate(rows_all),
+            np.concatenate(cols_all),
+            np.concatenate(vals_all),
+        )
+
+
+def make_sharded_fn(mesh: Mesh, n_c_tiles: int, chunk: int = 1024,
+                    precision=jax.lax.Precision.HIGHEST):
+    """Build the jitted shard_map SpGEMM for a given mesh and C-tile count.
+
+    The returned fn takes the stacked per-shard arrays of
+    :class:`ShardedProblem` and returns C tiles [n_dp, nCmax+1, tm, tn].
+    """
+
+    def per_shard(a_tid, b_tid, o_tid, a_tiles, b_tiles):
+        # shard_map passes blocks with leading mesh dims of size 1
+        c = _local_engine(
+            a_tid[0, 0], b_tid[0, 0], o_tid[0, 0],
+            a_tiles[0, 0], b_tiles[0, 0],
+            n_c_tiles=n_c_tiles, chunk=chunk, precision=precision,
+        )
+        # distributed psum-merge of the k-sharded partials
+        c = jax.lax.psum(c, axis_name="tp")
+        return c[None]
+
+    fn = jax.shard_map(
+        per_shard,
+        mesh=mesh,
+        in_specs=(P("dp", "tp"), P("dp", "tp"), P("dp", "tp"),
+                  P("dp", "tp"), P("dp", "tp")),
+        out_specs=P("dp"),
+    )
+    return jax.jit(fn)
+
+
+def spgemm_sharded(
+    problem: ShardedProblem,
+    mesh: Optional[Mesh] = None,
+    chunk: int = 1024,
+) -> ShardedResult:
+    """Execute a partitioned SpGEMM over the mesh (default: all devices)."""
+    if mesh is None:
+        devs = np.array(jax.devices()[: problem.n_dp * problem.n_tp])
+        mesh = Mesh(devs.reshape(problem.n_dp, problem.n_tp), ("dp", "tp"))
+    fn = make_sharded_fn(mesh, n_c_tiles=problem.nCmax, chunk=chunk)
+    c = fn(
+        jnp.asarray(problem.a_tid), jnp.asarray(problem.b_tid),
+        jnp.asarray(problem.o_tid), jnp.asarray(problem.a_tiles),
+        jnp.asarray(problem.b_tiles),
+    )
+    return ShardedResult(problem=problem, c_tiles=np.asarray(c))

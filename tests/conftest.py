@@ -7,14 +7,18 @@ Pallas kernels run in interpreter mode on CPU (handled inside the ops layer).
 
 import os
 
-# Force CPU: the session env pins JAX_PLATFORMS to the real TPU (axon); tests
-# must run on the virtual 8-device CPU mesh regardless.
-os.environ["JAX_PLATFORMS"] = "cpu"
+# Force CPU: the session's sitecustomize (PYTHONPATH=/root/.axon_site)
+# pre-imports jax and registers the axon TPU plugin before any user code, so
+# JAX_PLATFORMS in the environment is too late — override via jax.config.
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
         flags + " --xla_force_host_platform_device_count=8"
     ).strip()
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
 
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402

@@ -1,0 +1,80 @@
+"""Sharded SpGEMM on the virtual 8-device CPU mesh (SURVEY.md §4)."""
+
+import jax
+import numpy as np
+import pytest
+
+from spada_tpu.config import SpadaConfig
+from spada_tpu.io.workloads import GemmWorkload, powerlaw_csr, random_csr
+from spada_tpu.parallel import partition_spgemm, spgemm_sharded
+
+
+requires_8 = pytest.mark.skipif(
+    len(jax.devices()) < 8, reason="needs 8 virtual devices"
+)
+
+
+def _ref(a, b):
+    return np.asarray((a.to_scipy() @ b.to_scipy()).todense(), np.float64)
+
+
+@pytest.mark.parametrize("n_dp,n_tp", [(2, 1), (4, 1), (1, 2), (2, 2), (4, 2)])
+def test_sharded_matches_scipy(n_dp, n_tp):
+    if len(jax.devices()) < n_dp * n_tp:
+        pytest.skip("not enough devices")
+    a = random_csr(300, 260, 0.05, seed=1)
+    b = random_csr(260, 310, 0.06, seed=2)
+    prob = partition_spgemm(a, b, n_dp, n_tp, tm=64)
+    res = spgemm_sharded(prob)
+    np.testing.assert_allclose(res.todense(), _ref(a, b), rtol=1e-5, atol=1e-5)
+
+
+@requires_8
+def test_sharded_8way_powerlaw():
+    a = powerlaw_csr(500, 400, 10.0, seed=3)
+    b = random_csr(400, 500, 0.04, seed=4)
+    prob = partition_spgemm(a, b, 4, 2, tm=32)
+    res = spgemm_sharded(prob)
+    np.testing.assert_allclose(res.todense(), _ref(a, b), rtol=1e-5, atol=1e-5)
+    # work balance: the dp split targets equal work items
+    assert prob.imbalance < 3.0
+
+
+@requires_8
+def test_sharded_equals_single_chip():
+    """Same-code single-device vs 8-device equality (SURVEY.md §4)."""
+    a = random_csr(256, 256, 0.08, seed=5)
+    b = random_csr(256, 256, 0.08, seed=6)
+    p1 = partition_spgemm(a, b, 1, 1, tm=64)
+    p8 = partition_spgemm(a, b, 4, 2, tm=64)
+    r1 = spgemm_sharded(p1)
+    r8 = spgemm_sharded(p8)
+    np.testing.assert_allclose(r1.todense(), r8.todense(), rtol=1e-6, atol=1e-6)
+
+
+def test_to_csr_roundtrip():
+    a = random_csr(200, 180, 0.05, seed=7)
+    b = random_csr(180, 150, 0.05, seed=8)
+    prob = partition_spgemm(a, b, 2, 2, tm=32)
+    res = spgemm_sharded(prob)
+    got = np.asarray(res.to_csr().to_scipy().todense())
+    ref = _ref(a, b)
+    # to_csr drops explicit zeros; compare dense reconstructions
+    np.testing.assert_allclose(got, ref, rtol=1e-5, atol=1e-5)
+
+
+def test_cari_sharded(cari_workload):
+    w = cari_workload
+    prob = partition_spgemm(w.a, w.b, 4, 2, tm=128)
+    res = spgemm_sharded(prob)
+    ref = np.asarray(w.reference_product().todense())
+    np.testing.assert_allclose(res.todense(), ref, rtol=1e-4, atol=1e-3)
+
+
+def test_empty_shards_ok():
+    """Degenerate: more dp shards than occupied tile rows."""
+    a = random_csr(40, 64, 0.02, seed=9)
+    b = random_csr(64, 40, 0.05, seed=10)
+    prob = partition_spgemm(a, b, 8, 1, tm=8)
+    res = spgemm_sharded(prob)
+    np.testing.assert_allclose(res.todense(), _ref(a, b), rtol=1e-5, atol=1e-5)
