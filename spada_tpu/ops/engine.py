@@ -31,6 +31,19 @@ def _on_tpu() -> bool:
     return jax.default_backend() == "tpu"
 
 
+def default_use_pallas() -> bool:
+    """Engine auto-selection policy.
+
+    Currently the XLA engine (chunked gather + batched matmul + scatter-add)
+    is the fastest path on TPU — XLA pipelines the data-dependent tile
+    gathers well, while the Pallas megakernel's per-step output-block flush
+    on data-dependent output index maps serializes its pipeline (measured
+    ~8x slower at n=64k banded).  Revisit when the manually-pipelined kernel
+    lands.
+    """
+    return False
+
+
 # --------------------------------------------------------------------------
 # Pallas megakernel
 # --------------------------------------------------------------------------

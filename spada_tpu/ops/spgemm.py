@@ -25,7 +25,8 @@ from typing import Optional
 import numpy as np
 
 from spada_tpu.config import SpadaConfig
-from spada_tpu.ops.engine import run_worklist_pallas, run_worklist_xla, _on_tpu
+from spada_tpu.ops.engine import (default_use_pallas, run_worklist_pallas,
+                                   run_worklist_xla)
 from spada_tpu.ops.worklist import WorkList, build_worklist
 from spada_tpu.sparse.bsr import BsrMatrix
 from spada_tpu.sparse.csr import CsrMatrix
@@ -128,7 +129,7 @@ def spgemm(
 
     use_pallas = config.use_pallas
     if use_pallas is None:
-        use_pallas = _on_tpu()
+        use_pallas = default_use_pallas()
     if order == "k":
         use_pallas = False  # k-major needs scatter accumulation
 

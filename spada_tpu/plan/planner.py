@@ -195,12 +195,14 @@ def _slice_rows_padded(a: CsrMatrix, panels: List[PanelSpec], tm: int):
 def execute_plan(
     a: CsrMatrix, b: CsrMatrix, plan: ExecutionPlan, config: Optional[SpadaConfig] = None
 ) -> PlanResult:
-    from spada_tpu.ops.engine import _on_tpu, run_worklist_pallas, run_worklist_xla
+    from spada_tpu.ops.engine import (default_use_pallas, run_worklist_pallas,
+                                     run_worklist_xla)
     from spada_tpu.ops.spgemm import _count_useful_flops
     from spada_tpu.ops.worklist import build_worklist
 
     config = config or SpadaConfig()
-    use_pallas = config.use_pallas if config.use_pallas is not None else _on_tpu()
+    use_pallas = (config.use_pallas if config.use_pallas is not None
+                  else default_use_pallas())
 
     b_bsr = BsrMatrix.from_csr(b, plan.tile_k, plan.tile_n, dtype=np.float32)
 

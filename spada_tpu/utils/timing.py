@@ -1,0 +1,74 @@
+"""Trustworthy device timing under remote/tunneled TPU runtimes.
+
+On a tunneled PJRT backend (axon), ``block_until_ready`` can return once the
+buffer is *defined* remotely, long before the device computed it — naive
+wall-clock timing then reports physically impossible numbers (we measured
+"12 PFLOP/s" on one v5e chip).  The only reliable fence is a host readback.
+
+:func:`device_time` therefore times ``K`` executions *chained inside one
+jitted fori_loop* (a scalar data dependency threads each iteration's output
+into the next iteration's input, defeating both loop hoisting and dead-code
+elimination) and subtracts the measured host round-trip latency.
+"""
+
+from __future__ import annotations
+
+import functools
+import time
+from typing import Callable, Sequence
+
+import numpy as np
+
+
+def measure_roundtrip(n: int = 5) -> float:
+    """Median host<->device round-trip including a trivial kernel."""
+    import jax
+    import jax.numpy as jnp
+
+    z = jnp.zeros((8, 128))
+    tiny = jax.jit(lambda z: jnp.sum(z))
+    float(tiny(z))  # compile
+    ts = []
+    for _ in range(n):
+        t0 = time.perf_counter()
+        float(tiny(z))
+        ts.append(time.perf_counter() - t0)
+    return float(np.median(ts))
+
+
+def device_time(
+    fn: Callable,
+    args: Sequence,
+    k: int = 8,
+    trials: int = 3,
+    roundtrip: float | None = None,
+) -> float:
+    """Seconds per execution of ``fn(*args) -> array``.
+
+    ``fn`` must accept its first argument perturbed by a traced scalar
+    (the loop-carry dependency): it is called as ``fn(args[0] + eps, *rest)``
+    where ``eps`` is a tiny traced scalar.  Returns the min over ``trials``
+    (min is the right statistic under shared-pool interference).
+    """
+    import jax
+    import jax.numpy as jnp
+
+    if roundtrip is None:
+        roundtrip = measure_roundtrip()
+
+    @functools.partial(jax.jit, static_argnames="K")
+    def runK(first, *rest, K=k):
+        def body(i, carry):
+            out = fn(first + carry * 1e-30, *rest)
+            return jnp.sum(out) * 1e-30
+
+        return jax.lax.fori_loop(0, K, body, jnp.float32(0.0))
+
+    float(runK(*args))  # compile + warm
+    best = float("inf")
+    for _ in range(trials):
+        t0 = time.perf_counter()
+        float(runK(*args))
+        el = (time.perf_counter() - t0 - roundtrip) / k
+        best = min(best, el)
+    return max(best, 1e-9)
