@@ -68,31 +68,47 @@ def main() -> int:
 
     import jax.numpy as jnp
 
-    at = jnp.asarray(a_bsr.tiles)
-    bt = jnp.asarray(b_bsr.tiles)
+    tile_dtype = jnp.bfloat16 if on_tpu else jnp.float32
+    isz = 2 if on_tpu else 4
+    at = jnp.asarray(a_bsr.tiles).astype(tile_dtype)
+    bt = jnp.asarray(b_bsr.tiles).astype(tile_dtype)
     ai, bi, oi = (jnp.asarray(wl.a_tid), jnp.asarray(wl.b_tid),
                   jnp.asarray(wl.o_tid))
-    chunk = 2048
 
-    def engine(at, bt, ai, bi, oi):
-        c = jnp.zeros((nC, tm, tn), jnp.float32)
-        for s in range(-(-W // chunk)):
-            sl = slice(s * chunk, min((s + 1) * chunk, W))
-            part = jax.lax.dot_general(
-                at[ai[sl]], bt[bi[sl]],
-                dimension_numbers=(((2,), (1,)), ((0,), (0,))),
-                preferred_element_type=jnp.float32,
-                precision=jax.lax.Precision.DEFAULT,
+    if on_tpu:
+        from spada_tpu.ops.engine import _run_pallas_streaming
+
+        item_ptr = jnp.asarray(
+            np.searchsorted(np.asarray(wl.o_tid),
+                            np.arange(nC + 1)).astype(np.int32)
+        )
+
+        def engine(at, bt):
+            return _run_pallas_streaming(
+                item_ptr, ai, bi, at, bt, n_c_tiles=nC, nbuf=8,
+                interpret=False, precision="default",
             )
-            c = c.at[oi[sl]].add(part)
-        return c
+    else:
+        chunk = 2048
+
+        def engine(at, bt):
+            c = jnp.zeros((nC, tm, tn), jnp.float32)
+            for s in range(-(-W // chunk)):
+                sl = slice(s * chunk, min((s + 1) * chunk, W))
+                part = jax.lax.dot_general(
+                    at[ai[sl]], bt[bi[sl]],
+                    dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+                    preferred_element_type=jnp.float32,
+                    precision=jax.lax.Precision.DEFAULT,
+                )
+                c = c.at[oi[sl]].add(part)
+            return c
 
     rt = measure_roundtrip()
-    elapsed = device_time(engine, (at, bt, ai, bi, oi), k=4, trials=3,
-                          roundtrip=rt)
+    elapsed = device_time(engine, (at, bt), k=4, trials=3, roundtrip=rt)
 
     # ---- speed-of-light model (naive streaming bound, spec bandwidth) ----
-    bytes_moved = (W * (tm * tk + tk * tn) + nC * tm * tn) * 4
+    bytes_moved = W * (tm * tk + tk * tn) * isz + nC * tm * tn * 4
     mxu_flops = 2 * W * tm * tk * tn
     t_sol = max(bytes_moved / config.hbm_bytes_per_s,
                 mxu_flops / config.peak_flops_bf16)

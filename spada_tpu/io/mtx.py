@@ -68,6 +68,17 @@ def _parse_coordinate(body: bytes, nrows: int, ncols: int, nnz: int,
     else:
         raise ValueError(f"unsupported field {field}")
 
+    # native single-pass tokenizer (spada_tpu.native); falls through to the
+    # NumPy path on any failure
+    if field != "complex":
+        from spada_tpu import native
+
+        parsed = native.mtx_parse_body(body, nnz, field == "pattern")
+        if parsed is not None:
+            rows, cols, vals = parsed
+            return _assemble_coo(rows, cols, vals, nrows, ncols, field,
+                                 symmetry)
+
     flat = _tokens_to_floats(body)
     if flat.size != nnz * cols_per_entry:
         # tolerate trailing garbage / ragged whitespace via slower loadtxt
@@ -85,14 +96,18 @@ def _parse_coordinate(body: bytes, nrows: int, ncols: int, nnz: int,
         vals = table[:, 2]  # real part only (matches scipy .real usage upstream)
     else:
         vals = table[:, 2]
+    return _assemble_coo(rows, cols, vals, nrows, ncols, field, symmetry)
 
+
+def _assemble_coo(rows, cols, vals, nrows: int, ncols: int, field: str,
+                  symmetry: str) -> CsrMatrix:
     if symmetry in ("symmetric", "skew-symmetric", "hermitian"):
         off = rows != cols
         sign = -1.0 if symmetry == "skew-symmetric" else 1.0
-        rows = np.concatenate([rows, cols[off]])
-        cols_sym = np.concatenate([cols, table[:, 0].astype(np.int64)[off] - 1])
+        rows_sym = np.concatenate([rows, cols[off]])
+        cols_sym = np.concatenate([cols, rows[off]])
         vals = np.concatenate([vals, sign * vals[off]])
-        cols = cols_sym
+        rows, cols = rows_sym, cols_sym
     elif symmetry != "general":
         raise ValueError(f"unsupported symmetry {symmetry}")
 

@@ -194,6 +194,7 @@ def simulate_traffic(
     row_order: Optional[np.ndarray] = None,
     window_k: Optional[int] = None,
     compute_values: bool = True,
+    backend: str = "auto",
 ) -> FunctionalResult:
     """Run the functional traffic model for a row-wise Gustavson schedule.
 
@@ -202,10 +203,20 @@ def simulate_traffic(
     - ``window_k``: split each row's scalars into windows of this many
       A-elements; each window yields a partial psum, pairwise-merged at row
       end (models the PE-merge path).  ``None`` = one full-K window.
+    - ``backend``: 'auto' uses the native (C++) cache walk for the full-K
+      structure-only case, the reference-exact Python model otherwise;
+      'python' / 'native' force a path.
     """
     config = config or SpadaConfig()
     if row_order is None:
         row_order = np.arange(a.row_num, dtype=np.int64)
+
+    if backend != "python" and window_k is None and not compute_values:
+        res = _simulate_native(a, b, config, row_order)
+        if res is not None:
+            return res
+        if backend == "native":
+            raise RuntimeError("native traffic backend unavailable")
 
     a_mem, b_mem, psum_mem = MemStats(), MemStats(), MemStats()
     cstats = CacheStats()
@@ -358,5 +369,47 @@ def simulate_traffic(
         b_touched_words=b_touched_words, b_distinct_words=b_distinct_words,
         c_touched_words=c_touched_words, c_final_words=c_final_words,
         word_byte=config.word_byte,
+    )
+    return FunctionalResult(report=report, c=c)
+
+
+def _simulate_native(a: CsrMatrix, b: CsrMatrix, config: SpadaConfig,
+                     row_order: np.ndarray) -> Optional[FunctionalResult]:
+    """Full-K structure-only fast path via the C++ cache walk.
+
+    The merged-psum sizes (= C's row nnz) come from a scipy boolean product;
+    the Belady-priority cache walk runs natively.  Counter semantics are
+    identical to the Python model (asserted in tests).
+    """
+    from spada_tpu import native
+
+    import scipy.sparse as sp
+
+    a_sp = a.to_scipy().astype(bool)
+    b_sp = b.to_scipy().astype(bool)
+    c_sp = (a_sp @ b_sp).tocsr()
+    c_row_nnz = np.diff(c_sp.indptr).astype(np.int64)
+    out = native.traffic_simulate(
+        a.indptr, a.indices, b.row_lens(), row_order,
+        config.cache_words, c_row_nnz[row_order],
+    )
+    if out is None:
+        return None
+    report = TrafficReport(
+        a_mem=MemStats(read_count=int(out[0])),
+        b_mem=MemStats(read_count=int(out[1])),
+        psum_mem=MemStats(read_count=int(out[2]), write_count=int(out[3])),
+        cache=CacheStats(
+            read_count=int(out[10]), write_count=int(out[11]),
+            miss_count=int(out[4]), b_evict_count=int(out[5]),
+            psum_evict_count=int(out[6]), max_occupancy=int(out[13]),
+        ),
+        b_touched_words=int(out[7]), b_distinct_words=int(out[8]),
+        c_touched_words=int(out[9]), c_final_words=int(out[12]),
+        word_byte=config.word_byte,
+    )
+    c = CsrMatrix(
+        c_sp.shape, c_sp.indptr.astype(np.int64), c_sp.indices,
+        np.ones(c_sp.nnz, dtype=np.float64), check=False,
     )
     return FunctionalResult(report=report, c=c)

@@ -1,0 +1,111 @@
+"""Native (C++) host-side components, loaded via ctypes.
+
+Built lazily with g++ into ``_build/`` on first use; every caller has a pure
+NumPy fallback, so the package works without a toolchain.  See
+``spada_native.cpp`` for what is implemented natively and why.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+import threading
+from typing import Optional
+
+import numpy as np
+
+_SRC = os.path.join(os.path.dirname(__file__), "spada_native.cpp")
+_BUILD_DIR = os.path.join(os.path.dirname(__file__), "_build")
+_SO = os.path.join(_BUILD_DIR, "libspada_native.so")
+
+_lock = threading.Lock()
+_lib: Optional[ctypes.CDLL] = None
+_build_failed = False
+
+
+def _build() -> bool:
+    os.makedirs(_BUILD_DIR, exist_ok=True)
+    cmd = ["g++", "-O3", "-std=c++17", "-shared", "-fPIC", _SRC, "-o", _SO]
+    try:
+        subprocess.run(cmd, check=True, capture_output=True, timeout=120)
+        return True
+    except (subprocess.SubprocessError, FileNotFoundError):
+        return False
+
+
+def load() -> Optional[ctypes.CDLL]:
+    """The native library, building it if needed; None if unavailable."""
+    global _lib, _build_failed
+    with _lock:
+        if _lib is not None or _build_failed:
+            return _lib
+        if not os.path.exists(_SO) or (
+            os.path.getmtime(_SO) < os.path.getmtime(_SRC)
+        ):
+            if not _build():
+                _build_failed = True
+                return None
+        try:
+            lib = ctypes.CDLL(_SO)
+        except OSError:
+            _build_failed = True
+            return None
+        lib.mtx_parse_body.restype = ctypes.c_int64
+        lib.mtx_parse_body.argtypes = [
+            ctypes.c_char_p, ctypes.c_int64, ctypes.c_int64, ctypes.c_int,
+            ctypes.POINTER(ctypes.c_int64), ctypes.POINTER(ctypes.c_int64),
+            ctypes.POINTER(ctypes.c_double),
+        ]
+        lib.traffic_simulate.restype = ctypes.c_int
+        lib.traffic_simulate.argtypes = [
+            ctypes.POINTER(ctypes.c_int64), ctypes.POINTER(ctypes.c_int32),
+            ctypes.c_int64, ctypes.POINTER(ctypes.c_int64), ctypes.c_int64,
+            ctypes.POINTER(ctypes.c_int64), ctypes.c_int64,
+            ctypes.POINTER(ctypes.c_int64), ctypes.POINTER(ctypes.c_int64),
+        ]
+        _lib = lib
+        return _lib
+
+
+def _ptr(a: np.ndarray, ctype):
+    return a.ctypes.data_as(ctypes.POINTER(ctype))
+
+
+def mtx_parse_body(body: bytes, nnz: int, pattern: bool):
+    """Native coordinate-body parse; returns (rows, cols, vals) or None."""
+    lib = load()
+    if lib is None:
+        return None
+    rows = np.empty(nnz, dtype=np.int64)
+    cols = np.empty(nnz, dtype=np.int64)
+    vals = np.empty(nnz, dtype=np.float64)
+    n = lib.mtx_parse_body(
+        body, len(body), nnz, int(pattern),
+        _ptr(rows, ctypes.c_int64), _ptr(cols, ctypes.c_int64),
+        _ptr(vals, ctypes.c_double),
+    )
+    if n != nnz:
+        return None
+    return rows, cols, vals
+
+
+def traffic_simulate(a_indptr, a_indices, b_row_lens, row_order,
+                     capacity_words: int, row_psum_nnz):
+    """Native fiber-cache walk; returns the 14-counter array or None."""
+    lib = load()
+    if lib is None:
+        return None
+    a_indptr = np.ascontiguousarray(a_indptr, dtype=np.int64)
+    a_indices = np.ascontiguousarray(a_indices, dtype=np.int32)
+    b_row_lens = np.ascontiguousarray(b_row_lens, dtype=np.int64)
+    row_order = np.ascontiguousarray(row_order, dtype=np.int64)
+    row_psum_nnz = np.ascontiguousarray(row_psum_nnz, dtype=np.int64)
+    out = np.zeros(14, dtype=np.int64)
+    rc = lib.traffic_simulate(
+        _ptr(a_indptr, ctypes.c_int64), _ptr(a_indices, ctypes.c_int32),
+        len(a_indptr) - 1, _ptr(b_row_lens, ctypes.c_int64), len(b_row_lens),
+        _ptr(row_order, ctypes.c_int64), capacity_words,
+        _ptr(row_psum_nnz, ctypes.c_int64), _ptr(out, ctypes.c_int64),
+    )
+    return out if rc == 0 else None

@@ -1,0 +1,230 @@
+// Native host-side components (C++17, no external deps).
+//
+// The reference implements its whole host runtime natively (Rust); these are
+// the rebuild's native equivalents for the two host-side hot paths:
+//
+//  1. mtx_parse_body — MatrixMarket coordinate-body parsing (the reference
+//     shells into scipy via pyo3, py2rust.rs:62-97; here a single-pass
+//     strtoll/strtod tokenizer, much faster than numpy text splitting).
+//  2. traffic_simulate — the functional traffic model's fiber-cache walk
+//     (models/traffic.py semantics; reference storage.rs:460-1007): a
+//     Belady-style priority cache with a lazily-invalidated max-heap and
+//     reference-exact word counters, for the default full-K row-wise
+//     schedule (one psum per row; the windowed merge path stays in Python).
+//
+// Exposed as a C ABI for ctypes (no pybind11 in this environment).
+
+#include <algorithm>
+#include <cstdint>
+#include <cstdlib>
+#include <queue>
+#include <unordered_map>
+#include <vector>
+
+extern "C" {
+
+// ---------------------------------------------------------------------------
+// 1. MatrixMarket coordinate-body parser
+// ---------------------------------------------------------------------------
+// Parses `nnz` entries of "row col [val]" (1-based) from text[0:len] into
+// caller-allocated arrays.  Returns entries parsed (< nnz on malformed
+// input).  field_pattern != 0: no value column (pattern matrices -> 1.0).
+int64_t mtx_parse_body(const char* text, int64_t len, int64_t nnz,
+                       int field_pattern, int64_t* rows, int64_t* cols,
+                       double* vals) {
+    const char* p = text;
+    const char* end = text + len;
+    int64_t n = 0;
+    auto skip_ws = [&]() {
+        while (p < end && (*p == ' ' || *p == '\t' || *p == '\n' ||
+                           *p == '\r')) ++p;
+    };
+    auto parse_int = [&](int64_t* out) -> bool {
+        skip_ws();
+        if (p >= end) return false;
+        char* q;
+        long long v = strtoll(p, &q, 10);
+        if (q == p) return false;
+        p = q;
+        *out = (int64_t)v;
+        return true;
+    };
+    auto parse_f = [&](double* out) -> bool {
+        skip_ws();
+        if (p >= end) return false;
+        char* q;
+        double v = strtod(p, &q);
+        if (q == p) return false;
+        p = q;
+        *out = v;
+        return true;
+    };
+    while (n < nnz) {
+        int64_t r, c;
+        if (!parse_int(&r) || !parse_int(&c)) break;
+        double v = 1.0;
+        if (!field_pattern && !parse_f(&v)) break;
+        rows[n] = r - 1;
+        cols[n] = c - 1;
+        vals[n] = v;
+        ++n;
+    }
+    return n;
+}
+
+// ---------------------------------------------------------------------------
+// 2. Functional traffic model cache walk (full-K rows, one psum per row)
+// ---------------------------------------------------------------------------
+// Counter semantics (see models/traffic.py for the file:line citations):
+//   row of L elements = 2L words; scalar read = 2 words; B rows clean-drop
+//   on eviction, psum rows write back to DRAM; eviction victim = resident
+//   row with the furthest next use in the traversal order.
+//
+// Inputs: A's CSR structure, B row lengths, traversal order, per-traversed-
+// row merged-psum nnz (row_psum_nnz[i] for row_order[i], computed in numpy).
+// Output counters (out[14]):
+//   0 a_mem_read    1 b_mem_read     2 psum_mem_read  3 psum_mem_write
+//   4 miss          5 b_evict        6 psum_evict     7 b_touched
+//   8 b_distinct    9 c_touched     10 cache_read    11 cache_write
+//  12 c_final      13 max_occupancy
+
+struct HeapEnt {
+    int64_t next_use;
+    int64_t key;  // >=0: B row id; <0: psum (-uid-1)
+    // Tie order matches the Python heapq on (-next_use, key) tuples: equal
+    // next_use pops B rows (ascending id) before psums (ascending uid).
+    int64_t rank() const {
+        return key >= 0 ? key : (INT64_MAX / 4) + (-key - 1);
+    }
+    bool operator<(const HeapEnt& o) const {
+        if (next_use != o.next_use) return next_use < o.next_use;
+        return rank() > o.rank();
+    }
+};
+
+int traffic_simulate(const int64_t* a_indptr, const int32_t* a_indices,
+                     int64_t a_rows, const int64_t* b_row_lens,
+                     int64_t b_rows, const int64_t* row_order,
+                     int64_t capacity_words, const int64_t* row_psum_nnz,
+                     int64_t* out) {
+    // global B access sequence + Belady next-use chain
+    std::vector<int64_t> access;
+    access.reserve((size_t)a_indptr[a_rows]);
+    for (int64_t i = 0; i < a_rows; ++i) {
+        int64_t r = row_order[i];
+        for (int64_t j = a_indptr[r]; j < a_indptr[r + 1]; ++j)
+            access.push_back((int64_t)a_indices[j]);
+    }
+    const int64_t T = (int64_t)access.size();
+    const int64_t INF = INT64_MAX / 2;
+    std::vector<int64_t> next_use(T, INF - 1);
+    {
+        std::vector<int64_t> last(b_rows, -1);
+        for (int64_t t = T - 1; t >= 0; --t) {
+            int64_t r = access[t];
+            if (last[r] >= 0) next_use[t] = last[r];
+            last[r] = t;
+        }
+    }
+
+    for (int i = 0; i < 14; ++i) out[i] = 0;
+    int64_t& a_read = out[0];
+    int64_t& b_read = out[1];
+    int64_t& psum_write = out[3];
+    int64_t& miss = out[4];
+    int64_t& b_evict = out[5];
+    int64_t& p_evict = out[6];
+    int64_t& b_touched = out[7];
+    int64_t& b_distinct = out[8];
+    int64_t& c_touched = out[9];
+    int64_t& cache_read = out[10];
+    int64_t& cache_write = out[11];
+    int64_t& c_final = out[12];
+    int64_t& max_occ = out[13];
+
+    std::unordered_map<int64_t, int64_t> resident;  // key -> words
+    std::unordered_map<int64_t, int64_t> prio;      // key -> next_use
+    std::priority_queue<HeapEnt> heap;
+    int64_t occ = 0;
+    std::vector<char> b_seen((size_t)b_rows, 0);
+
+    auto insert = [&](int64_t key, int64_t words, int64_t nu) {
+        while (occ + words > capacity_words && !heap.empty()) {
+            HeapEnt e = heap.top();
+            heap.pop();
+            auto it = resident.find(e.key);
+            if (it == resident.end()) continue;          // stale
+            auto pit = prio.find(e.key);
+            if (pit == prio.end() || pit->second != e.next_use) continue;
+            if (e.key == key) continue;                  // don't self-evict
+            int64_t w = it->second;
+            occ -= w;
+            resident.erase(it);
+            prio.erase(pit);
+            if (e.key >= 0) {
+                b_evict += w;        // clean drop
+            } else {
+                p_evict += w;
+                psum_write += w;     // write-back
+            }
+        }
+        if (occ + words <= capacity_words) {
+            resident[key] = words;
+            occ += words;
+            prio[key] = nu;
+            heap.push({nu, key});
+            if (occ > max_occ) max_occ = occ;
+        }
+    };
+
+    int64_t t = 0;
+    int64_t psum_uid = 0;
+    for (int64_t i = 0; i < a_rows; ++i) {
+        int64_t r = row_order[i];
+        int64_t s = a_indptr[r], e = a_indptr[r + 1];
+        if (e == s) continue;
+        a_read += 2 * (e - s);
+        for (int64_t j = s; j < e; ++j) {
+            int64_t k = access[t];
+            int64_t nu = next_use[t];
+            ++t;
+            int64_t words = 2 * b_row_lens[k];
+            if (!words) continue;
+            b_touched += words;
+            if (!b_seen[(size_t)k]) {
+                b_seen[(size_t)k] = 1;
+                b_distinct += words;
+            }
+            if (resident.count(k)) {
+                cache_read += words;
+                prio[k] = nu;
+                heap.push({nu, k});
+            } else {
+                b_read += words;
+                miss += words;
+                cache_write += words;
+                cache_read += words;
+                insert(k, words, nu);
+            }
+        }
+        int64_t pw = 2 * row_psum_nnz[i];
+        if (pw) {
+            c_touched += pw;
+            cache_write += pw;
+            int64_t key = -(psum_uid++) - 1;
+            insert(key, pw, t);
+            // finished row: swap out to DRAM immediately
+            auto it = resident.find(key);
+            if (it != resident.end()) {
+                occ -= it->second;
+                resident.erase(it);
+                prio.erase(key);
+            }
+            psum_write += pw;
+            c_final += pw;
+        }
+    }
+    return 0;
+}
+
+}  // extern "C"

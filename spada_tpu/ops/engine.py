@@ -1,17 +1,22 @@
 """Numeric phase: the block-sparse tile-product engines.
 
-Two interchangeable engines compute C tiles from a :class:`WorkList`:
+Three interchangeable engines compute C tiles from a :class:`WorkList`:
 
-- :func:`run_worklist_pallas` — the flagship Pallas TPU megakernel.  One grid
-  step per tile product; A/B tiles are streamed HBM→VMEM by the Pallas
-  pipeline using scalar-prefetched tile ids (the TPU-native realization of
-  the reference's B-fiber streaming through the cache, simulator.rs:892 +
-  storage.rs:737), and the output tile stays resident in VMEM across the
-  consecutive work items that hit it (the psum-buffer/merge semantics of the
-  PE pipeline, simulator.rs:117-235, collapsed into MXU accumulation).
+- :func:`run_worklist_streaming` — **the flagship TPU kernel.**  Grid = one
+  step per C tile (static output index map: the accumulator tile lives in
+  VMEM for exactly its run, the psum-buffer semantics of the PE pipeline,
+  simulator.rs:117-235); A/B tiles stream HBM→VMEM through a ring of manual
+  async DMAs maintained *across* grid steps, so the pipeline never drains at
+  run boundaries — the realization of the reference's stream-buffer +
+  fiber-cache latency hiding (simulator.rs:728-736, storage.rs:737-818).
+  Measured 2.4x (f32) / 3.4x (bf16) faster than the XLA engine at n=64k.
 - :func:`run_worklist_xla` — portable pure-XLA engine (gather + batched
-  matmul + segment-sum).  Used on CPU (tests / virtual meshes), for k-major
-  (outer-product) schedules, and as a differential oracle for the kernel.
+  matmul + scatter-add).  Used on CPU (tests / virtual meshes), for k-major
+  (outer-product) schedules, and as a differential oracle for the kernels.
+- :func:`run_worklist_pallas` — the auto-pipelined Pallas variant (one grid
+  step per work item).  Kept as a reference point; its data-dependent output
+  index map forces a per-step output flush that serializes the pipeline, so
+  it loses to both engines above on TPU.
 """
 
 from __future__ import annotations
@@ -32,16 +37,44 @@ def _on_tpu() -> bool:
 
 
 def default_use_pallas() -> bool:
-    """Engine auto-selection policy.
-
-    Currently the XLA engine (chunked gather + batched matmul + scatter-add)
-    is the fastest path on TPU — XLA pipelines the data-dependent tile
-    gathers well, while the Pallas megakernel's per-step output-block flush
-    on data-dependent output index maps serializes its pipeline (measured
-    ~8x slower at n=64k banded).  Revisit when the manually-pipelined kernel
-    lands.
-    """
+    """Legacy knob for the auto-pipelined megakernel — always off; the
+    streaming kernel (run_worklist_streaming) is the TPU fast path now."""
     return False
+
+
+def select_engine(order: str = "row", use_pallas: Optional[bool] = None) -> str:
+    """Auto engine choice: 'streaming' | 'xla' | 'pallas_grid'.
+
+    - TPU + row-major (o-sorted) worklist → the streaming kernel.
+    - k-major (outer-product) schedules need scatter accumulation → XLA.
+    - CPU → XLA (the streaming kernel runs only interpreted there).
+    - ``use_pallas=True`` forces the legacy auto-pipelined megakernel.
+    """
+    if use_pallas:
+        return "pallas_grid"
+    if order == "row" and _on_tpu() and use_pallas is None:
+        return "streaming"
+    return "xla"
+
+
+def run_worklist(wl, a_tiles, b_tiles, precision: str = "highest",
+                 engine: Optional[str] = None):
+    """Dispatch a WorkList to the chosen (default: auto) engine."""
+    eng = engine or select_engine(wl.order)
+    if eng == "streaming":
+        return run_worklist_streaming(
+            a_tiles, b_tiles, wl.a_tid, wl.b_tid, wl.o_tid,
+            n_c_tiles=wl.n_c_tiles, precision=precision,
+        )
+    if eng == "pallas_grid":
+        return run_worklist_pallas(
+            a_tiles, b_tiles, wl.a_tid, wl.b_tid, wl.o_tid, wl.first,
+            n_c_tiles=wl.n_c_tiles, precision=precision,
+        )
+    return run_worklist_xla(
+        a_tiles, b_tiles, wl.a_tid, wl.b_tid, wl.o_tid,
+        n_c_tiles=wl.n_c_tiles, precision=precision,
+    )
 
 
 # --------------------------------------------------------------------------
@@ -177,4 +210,132 @@ def run_worklist_xla(a_tiles, b_tiles, a_ids, b_ids, o_ids, n_c_tiles: int,
         jnp.asarray(a_ids), jnp.asarray(b_ids), jnp.asarray(o_ids),
         jnp.asarray(a_tiles), jnp.asarray(b_tiles),
         n_c_tiles=n_c_tiles, chunk=chunk, precision=precision,
+    )
+
+
+# --------------------------------------------------------------------------
+# Manually-pipelined Pallas streaming kernel
+# --------------------------------------------------------------------------
+#
+# Grid = one step per C tile (static output index map: the out block lives in
+# VMEM for exactly its run and is written back once).  A/B tiles stream
+# HBM->VMEM through an NBUF-slot ring of async DMAs that is maintained
+# ACROSS grid steps (scratch persists between sequential steps on TPU), so
+# the pipeline never drains at run boundaries — the TPU-native realization of
+# the reference's stream-buffer + fiber-cache overlap (simulator.rs:728-736,
+# storage.rs:737-818) with DMA depth standing in for `mem_latency` hiding.
+
+def _make_streaming_kernel(n_items: int, nbuf: int, precision):
+    def kernel(item_ptr_ref, a_ids_ref, b_ids_ref,
+               a_hbm, b_hbm, c_ref, abuf, bbuf, sems):
+        c = pl.program_id(0)
+        lo = item_ptr_ref[c]
+        hi = item_ptr_ref[c + 1]
+
+        def dma_a(w, slot):
+            return pltpu.make_async_copy(
+                a_hbm.at[a_ids_ref[w]], abuf.at[slot], sems.at[slot, 0]
+            )
+
+        def dma_b(w, slot):
+            return pltpu.make_async_copy(
+                b_hbm.at[b_ids_ref[w]], bbuf.at[slot], sems.at[slot, 1]
+            )
+
+        def start(w):
+            slot = jax.lax.rem(w, nbuf)
+            dma_a(w, slot).start()
+            dma_b(w, slot).start()
+
+        @pl.when(c == 0)
+        def _warmup():
+            for w in range(nbuf):
+                @pl.when(w < n_items)
+                def _():
+                    start(w)
+
+        c_ref[...] = jnp.zeros_like(c_ref)
+
+        def body(w, _):
+            slot = jax.lax.rem(w, nbuf)
+            dma_a(w, slot).wait()
+            dma_b(w, slot).wait()
+            c_ref[0] += jax.lax.dot_general(
+                abuf[slot], bbuf[slot],
+                dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+                precision=precision,
+            )
+            # slot w%nbuf is free only now — prefetch item w+nbuf into it
+            @pl.when(w + nbuf < n_items)
+            def _():
+                start(w + nbuf)
+            return 0
+
+        jax.lax.fori_loop(lo, hi, body, 0, unroll=False)
+
+    return kernel
+
+
+@functools.partial(
+    jax.jit, static_argnames=("n_c_tiles", "nbuf", "interpret", "precision")
+)
+def _run_pallas_streaming(item_ptr, a_ids, b_ids, a_tiles, b_tiles,
+                          n_c_tiles: int, nbuf: int = 8,
+                          interpret: bool = False, precision: str = "default"):
+    W = a_ids.shape[0]
+    tm, tk = a_tiles.shape[1], a_tiles.shape[2]
+    tn = b_tiles.shape[2]
+    itemsize = jnp.dtype(a_tiles.dtype).itemsize
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=3,
+        grid=(n_c_tiles,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pltpu.ANY),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, tm, tn), lambda c, item_ptr, a_ids, b_ids: (c, 0, 0)
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((nbuf, tm, tk), a_tiles.dtype),
+            pltpu.VMEM((nbuf, tk, tn), b_tiles.dtype),
+            pltpu.SemaphoreType.DMA((nbuf, 2)),
+        ],
+    )
+    return pl.pallas_call(
+        _make_streaming_kernel(W, nbuf, _resolve_precision(precision)),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((n_c_tiles, tm, tn), jnp.float32),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * W * tm * tk * tn,
+            bytes_accessed=W * (tm * tk + tk * tn) * itemsize
+            + n_c_tiles * tm * tn * 4,
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(item_ptr, a_ids, b_ids, a_tiles, b_tiles)
+
+
+def run_worklist_streaming(a_tiles, b_tiles, a_ids, b_ids, o_ids,
+                           n_c_tiles: int, nbuf: int = 8,
+                           interpret: Optional[bool] = None,
+                           precision: str = "default"):
+    """Streaming-kernel engine for a row-major (o-sorted) worklist.
+
+    ``o_ids`` must be nondecreasing (build_worklist order='row' guarantees
+    it); items of each C tile are located via a CSR pointer built host-side.
+    """
+    if interpret is None:
+        interpret = not _on_tpu()
+    o = np.asarray(o_ids)
+    item_ptr = np.searchsorted(o, np.arange(n_c_tiles + 1)).astype(np.int32)
+    return _run_pallas_streaming(
+        jnp.asarray(item_ptr), jnp.asarray(a_ids), jnp.asarray(b_ids),
+        jnp.asarray(a_tiles), jnp.asarray(b_tiles),
+        n_c_tiles=n_c_tiles, nbuf=nbuf, interpret=bool(interpret),
+        precision=precision,
     )

@@ -25,8 +25,7 @@ from typing import Optional
 import numpy as np
 
 from spada_tpu.config import SpadaConfig
-from spada_tpu.ops.engine import (default_use_pallas, run_worklist_pallas,
-                                   run_worklist_xla)
+from spada_tpu.ops.engine import run_worklist
 from spada_tpu.ops.worklist import WorkList, build_worklist
 from spada_tpu.sparse.bsr import BsrMatrix
 from spada_tpu.sparse.csr import CsrMatrix
@@ -115,6 +114,10 @@ def spgemm(
         tm = {"ip": 128, "op": 8, "rowwise": 32}.get(dataflow, config.default_tm)
 
     order = "k" if dataflow == "op" else "row"
+    if dtype is np.float32 and config.engine_dtype == "bfloat16":
+        import jax.numpy as jnp
+
+        dtype = jnp.bfloat16
     a_bsr = BsrMatrix.from_csr(a, tm, config.tile_k, dtype=dtype)
     b_bsr = BsrMatrix.from_csr(b, config.tile_k, config.tile_n, dtype=dtype)
     wl = build_worklist(a_bsr, b_bsr, order=order)
@@ -127,23 +130,15 @@ def spgemm(
             useful_flops=0, mxu_flops=0,
         )
 
-    use_pallas = config.use_pallas
-    if use_pallas is None:
-        use_pallas = default_use_pallas()
-    if order == "k":
-        use_pallas = False  # k-major needs scatter accumulation
+    engine = None if config.engine == "auto" else config.engine
+    if config.use_pallas:
+        engine = "pallas_grid"
 
     t0 = time.perf_counter()
-    if use_pallas:
-        c_tiles = run_worklist_pallas(
-            a_bsr.tiles, b_bsr.tiles, wl.a_tid, wl.b_tid, wl.o_tid, wl.first,
-            n_c_tiles=wl.n_c_tiles, precision=config.precision,
-        )
-    else:
-        c_tiles = run_worklist_xla(
-            a_bsr.tiles, b_bsr.tiles, wl.a_tid, wl.b_tid, wl.o_tid,
-            n_c_tiles=wl.n_c_tiles, precision=config.precision,
-        )
+    c_tiles = run_worklist(
+        wl, a_bsr.tiles, b_bsr.tiles, precision=config.precision,
+        engine=engine,
+    )
     c_tiles = np.asarray(c_tiles)  # block until done
     elapsed = time.perf_counter() - t0
 

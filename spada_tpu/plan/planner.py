@@ -195,16 +195,21 @@ def _slice_rows_padded(a: CsrMatrix, panels: List[PanelSpec], tm: int):
 def execute_plan(
     a: CsrMatrix, b: CsrMatrix, plan: ExecutionPlan, config: Optional[SpadaConfig] = None
 ) -> PlanResult:
-    from spada_tpu.ops.engine import (default_use_pallas, run_worklist_pallas,
-                                     run_worklist_xla)
+    from spada_tpu.ops.engine import run_worklist
     from spada_tpu.ops.spgemm import _count_useful_flops
     from spada_tpu.ops.worklist import build_worklist
 
     config = config or SpadaConfig()
-    use_pallas = (config.use_pallas if config.use_pallas is not None
-                  else default_use_pallas())
+    engine = None if config.engine == "auto" else config.engine
+    if config.use_pallas:
+        engine = "pallas_grid"
+    dtype = np.float32
+    if config.engine_dtype == "bfloat16":
+        import jax.numpy as jnp
 
-    b_bsr = BsrMatrix.from_csr(b, plan.tile_k, plan.tile_n, dtype=np.float32)
+        dtype = jnp.bfloat16
+
+    b_bsr = BsrMatrix.from_csr(b, plan.tile_k, plan.tile_n, dtype=dtype)
 
     by_tm = {}
     for p in plan.panels:
@@ -218,20 +223,14 @@ def execute_plan(
         sub, bases = _slice_rows_padded(a, panels, tm)
         if sub.nnz == 0:
             continue
-        a_bsr = BsrMatrix.from_csr(sub, tm, plan.tile_k, dtype=np.float32)
+        a_bsr = BsrMatrix.from_csr(sub, tm, plan.tile_k, dtype=dtype)
         wl = build_worklist(a_bsr, b_bsr, order="row")
         if wl.n_items == 0:
             continue
-        if use_pallas:
-            c_tiles = run_worklist_pallas(
-                a_bsr.tiles, b_bsr.tiles, wl.a_tid, wl.b_tid, wl.o_tid,
-                wl.first, n_c_tiles=wl.n_c_tiles, precision=config.precision,
-            )
-        else:
-            c_tiles = run_worklist_xla(
-                a_bsr.tiles, b_bsr.tiles, wl.a_tid, wl.b_tid, wl.o_tid,
-                n_c_tiles=wl.n_c_tiles, precision=config.precision,
-            )
+        c_tiles = run_worklist(
+            wl, a_bsr.tiles, b_bsr.tiles, precision=config.precision,
+            engine=engine,
+        )
         from spada_tpu.ops.spgemm import SpGemmResult
 
         res = SpGemmResult(

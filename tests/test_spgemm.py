@@ -114,3 +114,50 @@ def test_useful_flops_count(cari_workload):
     b_rows = w.b.row_lens()
     assert res.useful_flops == 2 * int((a_col * b_rows).sum())
     assert res.mxu_flops >= res.useful_flops
+
+
+# ---- streaming-kernel engine (interpret mode on CPU) ----
+
+def test_streaming_engine_matches_xla():
+    from spada_tpu.io.workloads import random_csr
+    from spada_tpu.ops.engine import run_worklist_streaming, run_worklist_xla
+    from spada_tpu.ops.worklist import build_worklist
+    from spada_tpu.sparse.bsr import BsrMatrix
+
+    a = random_csr(256, 300, 0.05, seed=21)
+    b = random_csr(300, 280, 0.06, seed=22)
+    ab = BsrMatrix.from_csr(a, 64, 64, dtype=np.float32)
+    bb = BsrMatrix.from_csr(b, 64, 64, dtype=np.float32)
+    wl = build_worklist(ab, bb, order="row")
+    out = np.asarray(run_worklist_streaming(
+        ab.tiles, bb.tiles, wl.a_tid, wl.b_tid, wl.o_tid,
+        n_c_tiles=wl.n_c_tiles, precision="highest",
+    ))
+    ref = np.asarray(run_worklist_xla(
+        ab.tiles, bb.tiles, wl.a_tid, wl.b_tid, wl.o_tid,
+        n_c_tiles=wl.n_c_tiles, precision="highest",
+    ))
+    np.testing.assert_allclose(out, ref, rtol=1e-5, atol=1e-5)
+
+
+def test_engine_dispatch():
+    from spada_tpu.ops.engine import select_engine
+
+    # CPU in tests: auto never picks a compiled-TPU-only engine
+    assert select_engine("row") == "xla"
+    assert select_engine("k") == "xla"
+    assert select_engine("row", use_pallas=True) == "pallas_grid"
+
+
+def test_spgemm_bf16_engine_dtype(cari_workload):
+    from spada_tpu.config import SpadaConfig
+
+    w = cari_workload
+    res = spgemm(w.a, w.b, SpadaConfig(engine_dtype="bfloat16",
+                                       precision="default"),
+                 dataflow="rowwise")
+    ref = np.asarray(w.reference_product().todense())
+    got = res.todense()
+    # bf16 tiles: coarse tolerance, but structure must match exactly
+    assert (np.abs(got) > 1e-6).sum() == (np.abs(ref) > 1e-6).sum()
+    np.testing.assert_allclose(got, ref, rtol=0.05, atol=0.5)

@@ -129,3 +129,50 @@ def test_cari_traffic_runs():
     # every counter is positive and self-consistent
     assert r.cache.read_count > 0 and r.cache.write_count > 0
     assert r.dram_bytes > 0
+
+
+def test_native_matches_python():
+    """The C++ cache walk must reproduce the Python model's counters."""
+    from spada_tpu import native
+
+    if native.load() is None:
+        pytest.skip("no native toolchain")
+    a = powerlaw_csr(80, 96, 8.0, seed=30)
+    b = random_csr(96, 90, 0.08, seed=31)
+    for cache in (1 << 40, 16384, 2048):
+        cfg = SpadaConfig(cache_size=cache)
+        py = simulate_traffic(a, b, cfg, compute_values=False,
+                              backend="python").report
+        nat = simulate_traffic(a, b, cfg, compute_values=False,
+                               backend="native").report
+        assert nat.as_dict() == py.as_dict(), f"cache={cache}"
+
+
+def test_native_matches_python_with_row_order():
+    from spada_tpu import native
+
+    if native.load() is None:
+        pytest.skip("no native toolchain")
+    a = random_csr(64, 64, 0.2, seed=32)
+    b = random_csr(64, 64, 0.2, seed=33)
+    order = np.argsort(a.row_lens(), kind="stable")
+    cfg = SpadaConfig(cache_size=8192)
+    py = simulate_traffic(a, b, cfg, row_order=order, compute_values=False,
+                          backend="python").report
+    nat = simulate_traffic(a, b, cfg, row_order=order, compute_values=False,
+                           backend="native").report
+    assert nat.as_dict() == py.as_dict()
+
+
+def test_native_mtx_parser_roundtrip(tmp_path):
+    from spada_tpu import native
+    from spada_tpu.io.mtx import load_mtx, load_mtx_scipy
+
+    if native.load() is None:
+        pytest.skip("no native toolchain")
+    m = load_mtx("matrices/cari.mtx")
+    s = load_mtx_scipy("matrices/cari.mtx")
+    assert m.shape == s.shape and m.nnz == s.nnz
+    np.testing.assert_allclose(
+        m.to_scipy().todense(), s.to_scipy().todense()
+    )
