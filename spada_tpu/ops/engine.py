@@ -59,8 +59,16 @@ def select_engine(order: str = "row", use_pallas: Optional[bool] = None) -> str:
 
 def run_worklist(wl, a_tiles, b_tiles, precision: str = "highest",
                  engine: Optional[str] = None):
-    """Dispatch a WorkList to the chosen (default: auto) engine."""
+    """Dispatch a WorkList to the chosen (default: auto) engine.
+
+    Auto never pairs the streaming kernel with precision='highest': the
+    f32-exact (bf16x6) dot expansion inside the kernel's dynamic item loop
+    makes Mosaic compiles pathologically slow (>20min observed); XLA
+    compiles the same HIGHEST contraction in seconds.
+    """
     eng = engine or select_engine(wl.order)
+    if eng == "streaming" and precision == "highest" and engine is None:
+        eng = "xla"
     if eng == "streaming":
         return run_worklist_streaming(
             a_tiles, b_tiles, wl.a_tid, wl.b_tid, wl.o_tid,

@@ -20,7 +20,9 @@ PP/SP/EP are not meaningful for a single SpGEMM op (documented in
 SURVEY.md §2.3).
 """
 
+from spada_tpu.parallel.halo import partition_halo, spgemm_halo
 from spada_tpu.parallel.partition import partition_spgemm, ShardedProblem
 from spada_tpu.parallel.spgemm import spgemm_sharded
 
-__all__ = ["partition_spgemm", "ShardedProblem", "spgemm_sharded"]
+__all__ = ["partition_spgemm", "ShardedProblem", "spgemm_sharded",
+           "partition_halo", "spgemm_halo"]

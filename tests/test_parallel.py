@@ -78,3 +78,39 @@ def test_empty_shards_ok():
     prob = partition_spgemm(a, b, 8, 1, tm=8)
     res = spgemm_sharded(prob)
     np.testing.assert_allclose(res.todense(), _ref(a, b), rtol=1e-5, atol=1e-5)
+
+
+# ---- halo-exchange strategy ----
+
+def test_halo_matches_scipy():
+    from spada_tpu.parallel.halo import partition_halo, spgemm_halo
+
+    if len(jax.devices()) < 4:
+        pytest.skip("needs 4 devices")
+    a = random_csr(300, 260, 0.05, seed=11)
+    b = random_csr(260, 310, 0.06, seed=12)
+    prob = partition_halo(a, b, 4, tm=64)
+    res = spgemm_halo(prob)
+    np.testing.assert_allclose(res.todense(), _ref(a, b), rtol=1e-5, atol=1e-5)
+
+
+@requires_8
+def test_halo_equals_reduce_strategy():
+    from spada_tpu.parallel.halo import partition_halo, spgemm_halo
+
+    a = powerlaw_csr(400, 320, 8.0, seed=13)
+    b = random_csr(320, 400, 0.05, seed=14)
+    h = spgemm_halo(partition_halo(a, b, 8, tm=32))
+    r = spgemm_sharded(partition_spgemm(a, b, 4, 2, tm=32))
+    np.testing.assert_allclose(h.todense(), r.todense(), rtol=1e-5, atol=1e-5)
+
+
+def test_halo_counts_traffic():
+    from spada_tpu.parallel.halo import partition_halo
+
+    a = random_csr(200, 200, 0.05, seed=15)
+    b = random_csr(200, 200, 0.05, seed=16)
+    prob = partition_halo(a, b, 4, tm=32)
+    # every needed remote tile is sent exactly once
+    assert prob.halo_tiles_sent > 0
+    assert prob.cap * 4 * 4 >= prob.halo_tiles_sent
