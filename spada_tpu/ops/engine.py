@@ -347,3 +347,151 @@ def run_worklist_streaming(a_tiles, b_tiles, a_ids, b_ids, o_ids,
         n_c_tiles=n_c_tiles, nbuf=nbuf, interpret=bool(interpret),
         precision=precision,
     )
+
+
+# --------------------------------------------------------------------------
+# VMEM-cached streaming kernel (host-planned fiber cache)
+# --------------------------------------------------------------------------
+#
+# Same grid/accumulator structure as the streaming kernel, but A/B tiles live
+# in slot-addressed VMEM caches whose load/evict schedule was precomputed by
+# spada_tpu.ops.cacheplan (Belady, the reference's priority-cache policy at
+# plan time).  Reused tiles cost zero HBM traffic — this is what pushes the
+# engine below the naive per-item streaming bound toward the unique-tile
+# minimum.
+
+def _make_cached_kernel(n_items: int, depth: int, precision):
+    def kernel(item_ptr_ref, a_ids_ref, b_ids_ref, a_slot_ref, b_slot_ref,
+               a_load_ref, b_load_ref, a_hbm, b_hbm, c_ref,
+               acache, bcache, asem, bsem):
+        c = pl.program_id(0)
+        lo = item_ptr_ref[c]
+        hi = item_ptr_ref[c + 1]
+
+        def start_loads(w):
+            @pl.when(a_load_ref[w] == 1)
+            def _():
+                s = a_slot_ref[w]
+                pltpu.make_async_copy(
+                    a_hbm.at[a_ids_ref[w]], acache.at[s], asem.at[s]
+                ).start()
+
+            @pl.when(b_load_ref[w] == 1)
+            def _():
+                s = b_slot_ref[w]
+                pltpu.make_async_copy(
+                    b_hbm.at[b_ids_ref[w]], bcache.at[s], bsem.at[s]
+                ).start()
+
+        @pl.when(c == 0)
+        def _warmup():
+            for w in range(depth):
+                @pl.when(w < n_items)
+                def _():
+                    start_loads(w)
+
+        c_ref[...] = jnp.zeros_like(c_ref)
+
+        def body(w, _):
+            @pl.when(w + depth < n_items)
+            def _():
+                start_loads(w + depth)
+            sa = a_slot_ref[w]
+            sb = b_slot_ref[w]
+
+            @pl.when(a_load_ref[w] == 1)
+            def _():
+                pltpu.make_async_copy(
+                    a_hbm.at[a_ids_ref[w]], acache.at[sa], asem.at[sa]
+                ).wait()
+
+            @pl.when(b_load_ref[w] == 1)
+            def _():
+                pltpu.make_async_copy(
+                    b_hbm.at[b_ids_ref[w]], bcache.at[sb], bsem.at[sb]
+                ).wait()
+
+            c_ref[0] += jax.lax.dot_general(
+                acache[sa], bcache[sb],
+                dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+                precision=precision,
+            )
+            return 0
+
+        jax.lax.fori_loop(lo, hi, body, 0, unroll=False)
+
+    return kernel
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("n_c_tiles", "a_slots", "b_slots", "depth", "interpret",
+                     "precision"),
+)
+def _run_pallas_cached(item_ptr, a_ids, b_ids, a_slot, b_slot, a_load,
+                       b_load, a_tiles, b_tiles, n_c_tiles: int,
+                       a_slots: int, b_slots: int, depth: int = 8,
+                       interpret: bool = False, precision: str = "default"):
+    W = a_ids.shape[0]
+    tm, tk = a_tiles.shape[1], a_tiles.shape[2]
+    tn = b_tiles.shape[2]
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=7,
+        grid=(n_c_tiles,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pltpu.ANY),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, tm, tn),
+            lambda c, *prefetch: (c, 0, 0),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((a_slots, tm, tk), a_tiles.dtype),
+            pltpu.VMEM((b_slots, tk, tn), b_tiles.dtype),
+            pltpu.SemaphoreType.DMA((a_slots,)),
+            pltpu.SemaphoreType.DMA((b_slots,)),
+        ],
+    )
+    itemsize = jnp.dtype(a_tiles.dtype).itemsize
+    return pl.pallas_call(
+        _make_cached_kernel(W, depth, _resolve_precision(precision)),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((n_c_tiles, tm, tn), jnp.float32),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * W * tm * tk * tn,
+            bytes_accessed=W * (tm * tk + tk * tn) * itemsize
+            + n_c_tiles * tm * tn * 4,
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(item_ptr, a_ids, b_ids, a_slot, b_slot, a_load, b_load,
+      a_tiles, b_tiles)
+
+
+def run_worklist_cached(a_tiles, b_tiles, a_ids, b_ids, o_ids,
+                        n_c_tiles: int, a_slots: int = 96, b_slots: int = 96,
+                        depth: int = 8, interpret: Optional[bool] = None,
+                        precision: str = "default"):
+    """VMEM-cached engine; returns (c_tiles, a_plan, b_plan)."""
+    from spada_tpu.ops.cacheplan import plan_tile_cache
+
+    if interpret is None:
+        interpret = not _on_tpu()
+    o = np.asarray(o_ids)
+    item_ptr = np.searchsorted(o, np.arange(n_c_tiles + 1)).astype(np.int32)
+    a_plan = plan_tile_cache(a_ids, a_slots, depth)
+    b_plan = plan_tile_cache(b_ids, b_slots, depth)
+    c = _run_pallas_cached(
+        jnp.asarray(item_ptr), jnp.asarray(a_ids), jnp.asarray(b_ids),
+        jnp.asarray(a_plan.slot), jnp.asarray(b_plan.slot),
+        jnp.asarray(a_plan.load), jnp.asarray(b_plan.load),
+        jnp.asarray(a_tiles), jnp.asarray(b_tiles),
+        n_c_tiles=n_c_tiles, a_slots=a_slots, b_slots=b_slots, depth=depth,
+        interpret=bool(interpret), precision=precision,
+    )
+    return c, a_plan, b_plan

@@ -103,3 +103,37 @@ def test_transpose(cari):
     t = cari.transpose()
     ref = cari.to_scipy().T.tocsr()
     assert (t.to_scipy() != ref).nnz == 0
+
+
+# ---- NN workload generation ----
+
+def test_nn_workload_pickle_roundtrip(tmp_path):
+    import numpy as np
+
+    from spada_tpu.io.workloads import load_pickled_gemms
+    from spada_tpu.models.nn_workloads import write_nn_pickle
+    from spada_tpu.ops.spgemm import spgemm
+
+    pkl = tmp_path / "nn_gemm.pkl"
+    layers = {"tiny_fc": ((256, 192), 48)}
+    write_nn_pickle(str(pkl), density=0.15, layers=layers, seed=3)
+    w = load_pickled_gemms(str(pkl), "tiny_fc")
+    assert w.a.shape == (256, 192) and w.b.shape == (192, 48)
+    res = spgemm(w.a, w.b, dataflow="rowwise")
+    ref = np.asarray(w.reference_product().todense())
+    np.testing.assert_allclose(res.todense(), ref, rtol=1e-4, atol=1e-4)
+
+
+def test_nn_structured_block_pruning():
+    import numpy as np
+
+    from spada_tpu.models.nn_workloads import pruned_weight
+    from spada_tpu.sparse.bsr import BsrMatrix
+    from spada_tpu.sparse.csr import CsrMatrix
+
+    w = pruned_weight((256, 256), density=0.25, seed=1, structured_block=64)
+    csr = CsrMatrix.from_dense(w)
+    bsr = BsrMatrix.from_csr(csr, 64, 64)
+    # block pruning -> tile occupancy equals scalar density of kept blocks
+    assert bsr.n_tiles <= 5  # 25% of 16 blocks, rounded up
+    assert bsr.occupancy() > 0.9

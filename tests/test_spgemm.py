@@ -161,3 +161,30 @@ def test_spgemm_bf16_engine_dtype(cari_workload):
     # bf16 tiles: coarse tolerance, but structure must match exactly
     assert (np.abs(got) > 1e-6).sum() == (np.abs(ref) > 1e-6).sum()
     np.testing.assert_allclose(got, ref, rtol=0.05, atol=0.5)
+
+
+def test_cached_engine_matches_xla():
+    """VMEM-cached kernel (host-planned Belady cache) == XLA oracle."""
+    from spada_tpu.io.workloads import powerlaw_csr, random_csr
+    from spada_tpu.ops.engine import run_worklist_cached, run_worklist_xla
+    from spada_tpu.ops.worklist import build_worklist
+    from spada_tpu.sparse.bsr import BsrMatrix
+
+    a = powerlaw_csr(256, 256, 12.0, seed=41)
+    b = random_csr(256, 256, 0.08, seed=42)
+    ab = BsrMatrix.from_csr(a, 64, 64, dtype=np.float32)
+    bb = BsrMatrix.from_csr(b, 64, 64, dtype=np.float32)
+    wl = build_worklist(ab, bb, order="row")
+    out, ap, bp = run_worklist_cached(
+        ab.tiles, bb.tiles, wl.a_tid, wl.b_tid, wl.o_tid,
+        n_c_tiles=wl.n_c_tiles, a_slots=10, b_slots=10, depth=4,
+        precision="highest",
+    )
+    ref = np.asarray(run_worklist_xla(
+        ab.tiles, bb.tiles, wl.a_tid, wl.b_tid, wl.o_tid,
+        n_c_tiles=wl.n_c_tiles, precision="highest",
+    ))
+    np.testing.assert_allclose(np.asarray(out), ref, rtol=1e-5, atol=1e-5)
+    # caching must never load more than W and at least the distinct tiles
+    assert len(np.unique(wl.a_tid)) <= ap.n_loads <= wl.n_items
+    assert len(np.unique(wl.b_tid)) <= bp.n_loads <= wl.n_items
