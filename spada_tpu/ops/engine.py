@@ -361,26 +361,33 @@ def run_worklist_streaming(a_tiles, b_tiles, a_ids, b_ids, o_ids,
 # minimum.
 
 def _make_cached_kernel(n_items: int, depth: int, precision):
-    def kernel(item_ptr_ref, a_ids_ref, b_ids_ref, a_slot_ref, b_slot_ref,
-               a_load_ref, b_load_ref, a_hbm, b_hbm, c_ref,
+    # Per-item scalar state is PACKED into one int32 per operand to keep the
+    # prefetch SMEM footprint at 2 arrays (6 separate arrays overflow SMEM
+    # at large W and stall the Mosaic compile):
+    #   packed = (tile_id << 9) | (slot << 1) | load
+    def kernel(item_ptr_ref, a_pk_ref, b_pk_ref, a_hbm, b_hbm, c_ref,
                acache, bcache, asem, bsem):
         c = pl.program_id(0)
         lo = item_ptr_ref[c]
         hi = item_ptr_ref[c + 1]
 
+        def unpack(pk):
+            return pk >> 9, (pk >> 1) & 255, pk & 1
+
         def start_loads(w):
-            @pl.when(a_load_ref[w] == 1)
+            a_tid, sa, a_ld = unpack(a_pk_ref[w])
+            b_tid, sb, b_ld = unpack(b_pk_ref[w])
+
+            @pl.when(a_ld == 1)
             def _():
-                s = a_slot_ref[w]
                 pltpu.make_async_copy(
-                    a_hbm.at[a_ids_ref[w]], acache.at[s], asem.at[s]
+                    a_hbm.at[a_tid], acache.at[sa], asem.at[sa]
                 ).start()
 
-            @pl.when(b_load_ref[w] == 1)
+            @pl.when(b_ld == 1)
             def _():
-                s = b_slot_ref[w]
                 pltpu.make_async_copy(
-                    b_hbm.at[b_ids_ref[w]], bcache.at[s], bsem.at[s]
+                    b_hbm.at[b_tid], bcache.at[sb], bsem.at[sb]
                 ).start()
 
         @pl.when(c == 0)
@@ -396,19 +403,19 @@ def _make_cached_kernel(n_items: int, depth: int, precision):
             @pl.when(w + depth < n_items)
             def _():
                 start_loads(w + depth)
-            sa = a_slot_ref[w]
-            sb = b_slot_ref[w]
+            a_tid, sa, a_ld = unpack(a_pk_ref[w])
+            b_tid, sb, b_ld = unpack(b_pk_ref[w])
 
-            @pl.when(a_load_ref[w] == 1)
+            @pl.when(a_ld == 1)
             def _():
                 pltpu.make_async_copy(
-                    a_hbm.at[a_ids_ref[w]], acache.at[sa], asem.at[sa]
+                    a_hbm.at[a_tid], acache.at[sa], asem.at[sa]
                 ).wait()
 
-            @pl.when(b_load_ref[w] == 1)
+            @pl.when(b_ld == 1)
             def _():
                 pltpu.make_async_copy(
-                    b_hbm.at[b_ids_ref[w]], bcache.at[sb], bsem.at[sb]
+                    b_hbm.at[b_tid], bcache.at[sb], bsem.at[sb]
                 ).wait()
 
             c_ref[0] += jax.lax.dot_general(
@@ -429,15 +436,15 @@ def _make_cached_kernel(n_items: int, depth: int, precision):
     static_argnames=("n_c_tiles", "a_slots", "b_slots", "depth", "interpret",
                      "precision"),
 )
-def _run_pallas_cached(item_ptr, a_ids, b_ids, a_slot, b_slot, a_load,
-                       b_load, a_tiles, b_tiles, n_c_tiles: int,
-                       a_slots: int, b_slots: int, depth: int = 8,
-                       interpret: bool = False, precision: str = "default"):
-    W = a_ids.shape[0]
+def _run_pallas_cached(item_ptr, a_packed, b_packed, a_tiles, b_tiles,
+                       n_c_tiles: int, a_slots: int, b_slots: int,
+                       depth: int = 8, interpret: bool = False,
+                       precision: str = "default"):
+    W = a_packed.shape[0]
     tm, tk = a_tiles.shape[1], a_tiles.shape[2]
     tn = b_tiles.shape[2]
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=7,
+        num_scalar_prefetch=3,
         grid=(n_c_tiles,),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.ANY),
@@ -469,12 +476,18 @@ def _run_pallas_cached(item_ptr, a_ids, b_ids, a_slot, b_slot, a_load,
             transcendentals=0,
         ),
         interpret=interpret,
-    )(item_ptr, a_ids, b_ids, a_slot, b_slot, a_load, b_load,
-      a_tiles, b_tiles)
+    )(item_ptr, a_packed, b_packed, a_tiles, b_tiles)
+
+
+def _pack_plan(ids, plan) -> np.ndarray:
+    ids = np.asarray(ids, dtype=np.int64)
+    assert ids.max(initial=0) < (1 << 22), "tile id overflows packed int32"
+    pk = (ids << 9) | (plan.slot.astype(np.int64) << 1) | plan.load
+    return pk.astype(np.int32)
 
 
 def run_worklist_cached(a_tiles, b_tiles, a_ids, b_ids, o_ids,
-                        n_c_tiles: int, a_slots: int = 96, b_slots: int = 96,
+                        n_c_tiles: int, a_slots: int = 16, b_slots: int = 48,
                         depth: int = 8, interpret: Optional[bool] = None,
                         precision: str = "default"):
     """VMEM-cached engine; returns (c_tiles, a_plan, b_plan)."""
@@ -487,9 +500,9 @@ def run_worklist_cached(a_tiles, b_tiles, a_ids, b_ids, o_ids,
     a_plan = plan_tile_cache(a_ids, a_slots, depth)
     b_plan = plan_tile_cache(b_ids, b_slots, depth)
     c = _run_pallas_cached(
-        jnp.asarray(item_ptr), jnp.asarray(a_ids), jnp.asarray(b_ids),
-        jnp.asarray(a_plan.slot), jnp.asarray(b_plan.slot),
-        jnp.asarray(a_plan.load), jnp.asarray(b_plan.load),
+        jnp.asarray(item_ptr),
+        jnp.asarray(_pack_plan(a_ids, a_plan)),
+        jnp.asarray(_pack_plan(b_ids, b_plan)),
         jnp.asarray(a_tiles), jnp.asarray(b_tiles),
         n_c_tiles=n_c_tiles, a_slots=a_slots, b_slots=b_slots, depth=depth,
         interpret=bool(interpret), precision=precision,
