@@ -105,6 +105,43 @@ def plan_spgemm(
     )
 
 
+def make_profiled_measure(a: CsrMatrix, b: CsrMatrix,
+                          config: Optional[SpadaConfig] = None):
+    """Default ``measure`` callback for ``plan_spgemm(scheme='profiled')``.
+
+    Runs the engine on the sampled row span at the candidate panel height and
+    returns wall seconds — the measured-latency feedback of the reference's
+    scheme 3 (rowwise_perf_adjust.rs:121-231), collected per candidate before
+    committing instead of during execution.
+    """
+    import time as _time
+
+    from spada_tpu.ops.engine import run_worklist
+    from spada_tpu.ops.worklist import build_worklist
+
+    config = config or SpadaConfig()
+    b_bsr = BsrMatrix.from_csr(b, config.tile_k, config.tile_n,
+                               dtype=np.float32)
+
+    def measure(row_start: int, row_end: int, tm: int) -> float:
+        sub, _ = _slice_rows_padded(
+            a, [PanelSpec(row_start, row_end, tm)], tm
+        )
+        a_bsr = BsrMatrix.from_csr(sub, tm, config.tile_k, dtype=np.float32)
+        wl = build_worklist(a_bsr, b_bsr, order="row")
+        if wl.n_items == 0:
+            return 0.0
+        # warm (compile), then time the steady call
+        run_worklist(wl, a_bsr.tiles, b_bsr.tiles,
+                     precision=config.precision)
+        t0 = _time.perf_counter()
+        np.asarray(run_worklist(wl, a_bsr.tiles, b_bsr.tiles,
+                                precision=config.precision))
+        return _time.perf_counter() - t0
+
+    return measure
+
+
 # ----------------------------------------------------------------------------
 # Plan execution
 # ----------------------------------------------------------------------------
@@ -215,6 +252,8 @@ def execute_plan(
     for p in plan.panels:
         by_tm.setdefault(p.tm, []).append(p)
 
+    from spada_tpu.utils import trace
+
     segments = []
     n_work = 0
     mxu = 0
@@ -227,9 +266,16 @@ def execute_plan(
         wl = build_worklist(a_bsr, b_bsr, order="row")
         if wl.n_items == 0:
             continue
+        t_seg = time.perf_counter()
         c_tiles = run_worklist(
             wl, a_bsr.tiles, b_bsr.tiles, precision=config.precision,
             engine=engine,
+        )
+        # per-segment cost attribution — the adaptive feedback signal
+        # (simulator.rs:589-603 block latency accounting)
+        trace.emit(
+            "segment", tm=tm, n_panels=len(panels), work_items=wl.n_items,
+            c_tiles=wl.n_c_tiles, dur_s=time.perf_counter() - t_seg,
         )
         from spada_tpu.ops.spgemm import SpGemmResult
 

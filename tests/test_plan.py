@@ -276,3 +276,37 @@ def test_profiled_plan_uses_measure():
     plan = plan_spgemm(a, b, scheme="profiled", measure=fake_measure)
     assert calls
     assert all(p.tm == 128 for p in plan.panels)
+
+
+def test_profiled_scheme_with_default_measure():
+    from spada_tpu.io.workloads import powerlaw_csr, random_csr
+    from spada_tpu.plan.planner import (execute_plan, make_profiled_measure,
+                                        plan_spgemm)
+
+    a = powerlaw_csr(200, 128, 6.0, seed=50)
+    b = random_csr(128, 160, 0.1, seed=51)
+    measure = make_profiled_measure(a, b)
+    plan = plan_spgemm(a, b, scheme="profiled", measure=measure)
+    assert plan.meta["scheme"] == "profiled"
+    res = execute_plan(a, b, plan)
+    ref = np.asarray((a.to_scipy() @ b.to_scipy()).todense())
+    np.testing.assert_allclose(res.todense(), ref, rtol=1e-4, atol=1e-4)
+
+
+def test_segment_trace_records():
+    from spada_tpu.io.workloads import random_csr
+    from spada_tpu.plan.planner import plan_spgemm, execute_plan
+    from spada_tpu.utils import trace
+
+    a = random_csr(100, 80, 0.1, seed=52)
+    b = random_csr(80, 100, 0.1, seed=53)
+    trace.clear()
+    trace.enable(True)
+    try:
+        execute_plan(a, b, plan_spgemm(a, b))
+        recs = trace.records("segment")
+        assert len(recs) >= 1
+        assert all("dur_s" in r and "work_items" in r for r in recs)
+    finally:
+        trace.enable(False)
+        trace.clear()

@@ -176,3 +176,39 @@ def test_native_mtx_parser_roundtrip(tmp_path):
     np.testing.assert_allclose(
         m.to_scipy().todense(), s.to_scipy().todense()
     )
+
+
+def test_engine_cost_analysis_matches_byte_model():
+    """SURVEY.md §4 traffic oracle: XLA's compiled cost analysis for the
+    tile engine must agree with the analytical byte model within a band."""
+    import jax
+    import jax.numpy as jnp
+
+    from spada_tpu.io.workloads import random_csr
+    from spada_tpu.ops.engine import _run_xla
+    from spada_tpu.ops.worklist import build_worklist
+    from spada_tpu.sparse.bsr import BsrMatrix
+
+    a = random_csr(256, 256, 0.08, seed=60)
+    b = random_csr(256, 256, 0.08, seed=61)
+    ab = BsrMatrix.from_csr(a, 64, 64, dtype=np.float32)
+    bb = BsrMatrix.from_csr(b, 64, 64, dtype=np.float32)
+    wl = build_worklist(ab, bb, order="row")
+    args = (jnp.asarray(wl.a_tid), jnp.asarray(wl.b_tid),
+            jnp.asarray(wl.o_tid), jnp.asarray(ab.tiles),
+            jnp.asarray(bb.tiles))
+    lowered = jax.jit(
+        lambda ai, bi, oi, at, bt: _run_xla(
+            ai, bi, oi, at, bt, n_c_tiles=wl.n_c_tiles, chunk=4096
+        )
+    ).lower(*args)
+    cost = lowered.compile().cost_analysis()
+    if not cost or "bytes accessed" not in cost:
+        pytest.skip("backend reports no cost analysis")
+    measured = cost["bytes accessed"]
+    # analytical band: at minimum the gathered tiles + C; at most a small
+    # multiple (XLA materializes gather/part buffers)
+    W = wl.n_items
+    lo = (ab.n_tiles + bb.n_tiles + wl.n_c_tiles) * 64 * 64 * 4
+    hi = 6 * (2 * W + 2 * wl.n_c_tiles) * 64 * 64 * 4
+    assert lo <= measured <= hi, (lo, measured, hi)
