@@ -150,3 +150,76 @@ def spgemm(
         useful_flops=_count_useful_flops(a, b),
         elapsed_s=elapsed,
     )
+
+
+def spgemm_csr(
+    a: CsrMatrix,
+    b: CsrMatrix,
+    config: Optional[SpadaConfig] = None,
+    dataflow: Optional[str] = None,
+    tm: Optional[int] = None,
+    prune_eps: float = 0.0,
+) -> CsrMatrix:
+    """SpGEMM with CSR output, streaming C through a bounded tile budget.
+
+    The block-sparse result buffer is [nC, tm, tn] f32; when nC exceeds
+    ``config.dense_c_budget`` the worklist is executed in consecutive
+    output-tile slabs (the o-sorted order makes slabbing a pure index-range
+    split), each slab extracted to CSR and concatenated — the two-phase
+    symbolic+numeric path for nnz(C) >> device memory (SURVEY.md §5.7: the
+    psum spill machinery of storage.rs:599-735 replaced by exact slab
+    allocation).
+    """
+    config = config or SpadaConfig()
+    dataflow = dataflow or config.dataflow
+    if tm is None:
+        tm = {"ip": 128, "op": 8, "rowwise": 32}.get(dataflow, config.default_tm)
+    if dataflow == "op":
+        # k-major order has no o-slab structure; fall back to one shot
+        return spgemm(a, b, config, dataflow=dataflow, tm=tm).to_csr(prune_eps)
+
+    dtype = np.float32
+    if config.engine_dtype == "bfloat16":
+        import jax.numpy as jnp
+
+        dtype = jnp.bfloat16
+    a_bsr = BsrMatrix.from_csr(a, tm, config.tile_k, dtype=dtype)
+    b_bsr = BsrMatrix.from_csr(b, config.tile_k, config.tile_n, dtype=dtype)
+    wl = build_worklist(a_bsr, b_bsr, order="row")
+    shape = (a.shape[0], b.shape[1])
+    if wl.n_items == 0:
+        return CsrMatrix(shape, np.zeros(shape[0] + 1, np.int64), [], [])
+
+    slab_tiles = max(1, int(config.dense_c_budget) // (tm * config.tile_n * 4))
+    engine = None if config.engine == "auto" else config.engine
+
+    parts = []
+    for o_lo in range(0, wl.n_c_tiles, slab_tiles):
+        o_hi = min(o_lo + slab_tiles, wl.n_c_tiles)
+        lo = int(np.searchsorted(wl.o_tid, o_lo))
+        hi = int(np.searchsorted(wl.o_tid, o_hi))
+        sub = WorkList(
+            a_tid=wl.a_tid[lo:hi], b_tid=wl.b_tid[lo:hi],
+            o_tid=wl.o_tid[lo:hi] - o_lo, first=wl.first[lo:hi].copy(),
+            c_tile_row=wl.c_tile_row[o_lo:o_hi],
+            c_tile_col=wl.c_tile_col[o_lo:o_hi],
+            n_c_tiles=o_hi - o_lo, order="row",
+        )
+        if len(sub.first):
+            sub.first[0] = 1
+        tiles = np.asarray(run_worklist(
+            sub, a_bsr.tiles, b_bsr.tiles, precision=config.precision,
+            engine=engine,
+        ))
+        t, r, c = np.nonzero(np.abs(tiles) > prune_eps)
+        rows = sub.c_tile_row[t].astype(np.int64) * tm + r
+        cols = sub.c_tile_col[t].astype(np.int64) * config.tile_n + c
+        keep = (rows < shape[0]) & (cols < shape[1])
+        parts.append((rows[keep], cols[keep], tiles[t, r, c][keep]))
+
+    return CsrMatrix.from_coo(
+        shape,
+        np.concatenate([p[0] for p in parts]),
+        np.concatenate([p[1] for p in parts]),
+        np.concatenate([p[2] for p in parts]),
+    )

@@ -188,3 +188,35 @@ def test_cached_engine_matches_xla():
     # caching must never load more than W and at least the distinct tiles
     assert len(np.unique(wl.a_tid)) <= ap.n_loads <= wl.n_items
     assert len(np.unique(wl.b_tid)) <= bp.n_loads <= wl.n_items
+
+
+def test_spgemm_csr_slabbed():
+    """Slabbed CSR path == one-shot path under a tiny C budget."""
+    from spada_tpu.config import SpadaConfig
+    from spada_tpu.io.workloads import random_csr
+    from spada_tpu.ops.spgemm import spgemm_csr
+
+    a = random_csr(300, 256, 0.06, seed=70)
+    b = random_csr(256, 300, 0.06, seed=71)
+    # budget of ~3 C tiles forces many slabs (tm=32 -> 32*128*4 bytes/tile)
+    cfg = SpadaConfig(dense_c_budget=3 * 32 * 128 * 4)
+    got = spgemm_csr(a, b, cfg, dataflow="rowwise", tm=32)
+    ref = (a.to_scipy() @ b.to_scipy()).tocsr()
+    np.testing.assert_allclose(
+        np.asarray(got.to_scipy().todense()),
+        np.asarray(ref.todense()), rtol=1e-5, atol=1e-5,
+    )
+
+
+def test_spgemm_csr_matches_to_csr():
+    from spada_tpu.io.workloads import powerlaw_csr, random_csr
+    from spada_tpu.ops.spgemm import spgemm, spgemm_csr
+
+    a = powerlaw_csr(200, 160, 6.0, seed=72)
+    b = random_csr(160, 220, 0.08, seed=73)
+    one = spgemm(a, b, dataflow="rowwise").to_csr()
+    slab = spgemm_csr(a, b, dataflow="rowwise")
+    np.testing.assert_allclose(
+        np.asarray(one.to_scipy().todense()),
+        np.asarray(slab.to_scipy().todense()), rtol=1e-6, atol=1e-6,
+    )
