@@ -59,8 +59,12 @@ def device_time(
     @functools.partial(jax.jit, static_argnames="K")
     def runK(first, *rest, K=k):
         def body(i, carry):
-            out = fn(first + carry * 1e-30, *rest)
-            return jnp.sum(out) * 1e-30
+            # cast the perturbation to the input dtype — adding a strong-f32
+            # scalar would silently promote bf16 inputs to f32 and change
+            # what is being measured
+            eps = (carry * 1e-30).astype(first.dtype)
+            out = fn(first + eps, *rest)
+            return jnp.sum(out).astype(jnp.float32) * 1e-30
 
         return jax.lax.fori_loop(0, K, body, jnp.float32(0.0))
 
