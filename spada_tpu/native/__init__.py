@@ -57,6 +57,12 @@ def load() -> Optional[ctypes.CDLL]:
             ctypes.POINTER(ctypes.c_int64), ctypes.POINTER(ctypes.c_int64),
             ctypes.POINTER(ctypes.c_double),
         ]
+        lib.plan_tile_cache.restype = ctypes.c_int64
+        lib.plan_tile_cache.argtypes = [
+            ctypes.POINTER(ctypes.c_int64), ctypes.c_int64, ctypes.c_int64,
+            ctypes.c_int64, ctypes.POINTER(ctypes.c_int32),
+            ctypes.POINTER(ctypes.c_int32),
+        ]
         lib.traffic_simulate.restype = ctypes.c_int
         lib.traffic_simulate.argtypes = [
             ctypes.POINTER(ctypes.c_int64), ctypes.POINTER(ctypes.c_int32),
@@ -109,3 +115,20 @@ def traffic_simulate(a_indptr, a_indices, b_row_lens, row_order,
         _ptr(row_psum_nnz, ctypes.c_int64), _ptr(out, ctypes.c_int64),
     )
     return out if rc == 0 else None
+
+
+def plan_tile_cache(tile_ids, n_slots: int, depth: int):
+    """Native Belady slot plan; returns (slot, load, n_loads) or None."""
+    lib = load()
+    if lib is None:
+        return None
+    ids = np.ascontiguousarray(tile_ids, dtype=np.int64)
+    slot = np.empty(len(ids), dtype=np.int32)
+    ld = np.empty(len(ids), dtype=np.int32)
+    n = lib.plan_tile_cache(
+        _ptr(ids, ctypes.c_int64), len(ids), n_slots, depth,
+        _ptr(slot, ctypes.c_int32), _ptr(ld, ctypes.c_int32),
+    )
+    if n < 0:
+        return None
+    return slot, ld, int(n)

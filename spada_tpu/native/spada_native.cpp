@@ -228,3 +228,74 @@ int traffic_simulate(const int64_t* a_indptr, const int32_t* a_indices,
 }
 
 }  // extern "C"
+
+extern "C" {
+
+// ---------------------------------------------------------------------------
+// 3. Belady VMEM slot planner (ops/cacheplan.py, native for large worklists)
+// ---------------------------------------------------------------------------
+// Exact port of plan_tile_cache: victim = among slots with
+// last_use < w - depth, the one with the furthest next use (ties: lowest
+// slot index, matching np.argmax).  Returns n_loads, or -1 on deadlock.
+int64_t plan_tile_cache(const int64_t* tile_ids, int64_t W, int64_t n_slots,
+                        int64_t depth, int32_t* slot_out, int32_t* load_out) {
+    if (W == 0) return 0;
+    int64_t max_tile = 0;
+    for (int64_t w = 0; w < W; ++w)
+        if (tile_ids[w] > max_tile) max_tile = tile_ids[w];
+
+    const int64_t INF = INT64_MAX / 2;
+    std::vector<int64_t> nxt(W, INF);
+    {
+        std::vector<int64_t> last((size_t)max_tile + 1, -1);
+        for (int64_t w = W - 1; w >= 0; --w) {
+            int64_t t = tile_ids[w];
+            if (last[(size_t)t] >= 0) nxt[w] = last[(size_t)t];
+            last[(size_t)t] = w;
+        }
+    }
+
+    std::vector<int64_t> tile_slot((size_t)max_tile + 1, -1);
+    std::vector<int64_t> slot_tile(n_slots, -1);
+    std::vector<int64_t> slot_next(n_slots, -1);
+    std::vector<int64_t> slot_last(n_slots, INT64_MIN / 2);
+    int64_t n_free = n_slots;   // slots n_slots-n_free.. are taken in order
+    int64_t n_loads = 0;
+
+    for (int64_t w = 0; w < W; ++w) {
+        int64_t t = tile_ids[w];
+        int64_t s = tile_slot[(size_t)t];
+        if (s >= 0) {
+            slot_out[w] = (int32_t)s;
+            load_out[w] = 0;
+            slot_next[s] = nxt[w];
+            slot_last[s] = w;
+            continue;
+        }
+        if (n_free > 0) {
+            s = n_slots - n_free;   // matches python free-list pop order
+            --n_free;
+        } else {
+            int64_t best = -1, best_next = INT64_MIN;
+            for (int64_t c = 0; c < n_slots; ++c) {
+                if (slot_last[c] < w - depth && slot_next[c] > best_next) {
+                    best_next = slot_next[c];
+                    best = c;
+                }
+            }
+            if (best < 0) return -1;
+            s = best;
+            tile_slot[(size_t)slot_tile[s]] = -1;
+        }
+        tile_slot[(size_t)t] = s;
+        slot_tile[s] = t;
+        slot_next[s] = nxt[w];
+        slot_last[s] = w;
+        slot_out[w] = (int32_t)s;
+        load_out[w] = 1;
+        ++n_loads;
+    }
+    return n_loads;
+}
+
+}  // extern "C"

@@ -45,6 +45,15 @@ def plan_tile_cache(tile_ids: np.ndarray, n_slots: int,
     assert n_slots >= depth + 2, (n_slots, depth)
     tile_ids = np.asarray(tile_ids, dtype=np.int64)
     W = len(tile_ids)
+
+    # native fast path (exact same decisions; parity-tested)
+    if W > 0:
+        from spada_tpu import native
+
+        res = native.plan_tile_cache(tile_ids, n_slots, depth)
+        if res is not None:
+            slot, load, n_loads = res
+            return CachePlan(slot, load, n_slots, n_loads)
     slot_of = np.full(W, -1, np.int32)
     load = np.zeros(W, np.int32)
     if W == 0:

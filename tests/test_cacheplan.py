@@ -89,3 +89,24 @@ def test_belady_beats_small_window():
 def test_min_slot_guard():
     with pytest.raises(AssertionError):
         plan_tile_cache(np.arange(5), 4, depth=4)
+
+
+def test_native_plan_matches_python():
+    from spada_tpu import native
+    from spada_tpu.ops import cacheplan
+
+    if native.load() is None:
+        pytest.skip("no native toolchain")
+    rng = np.random.default_rng(7)
+    ids = (rng.zipf(1.4, 5000) - 1) % 300
+    nat = plan_tile_cache(ids, 24, 8)          # native fast path
+    # force python path
+    orig = native.plan_tile_cache
+    native.plan_tile_cache = lambda *a, **k: None
+    try:
+        py = plan_tile_cache(ids, 24, 8)
+    finally:
+        native.plan_tile_cache = orig
+    np.testing.assert_array_equal(nat.slot, py.slot)
+    np.testing.assert_array_equal(nat.load, py.load)
+    assert nat.n_loads == py.n_loads
