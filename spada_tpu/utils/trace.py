@@ -21,7 +21,7 @@ from typing import Any, Dict, List, Optional
 
 _enabled = os.environ.get("SPADA_TRACE", "") not in ("", "0")
 _records: List[Dict[str, Any]] = []
-_sink = sys.stderr
+_sink = None  # None = current sys.stderr at emit time
 
 
 def enable(on: bool = True) -> None:
@@ -39,7 +39,10 @@ def emit(kind: str, **fields) -> None:
         return
     rec = {"t": time.perf_counter(), "kind": kind, **fields}
     _records.append(rec)
-    print(json.dumps(rec), file=_sink)
+    try:
+        print(json.dumps(rec), file=_sink or sys.stderr)
+    except ValueError:
+        pass  # sink closed (test harness teardown) — records still kept
 
 
 def records(kind: Optional[str] = None) -> List[Dict[str, Any]]:
