@@ -74,6 +74,12 @@ def run_worklist(wl, a_tiles, b_tiles, precision: str = "highest",
             a_tiles, b_tiles, wl.a_tid, wl.b_tid, wl.o_tid,
             n_c_tiles=wl.n_c_tiles, precision=precision,
         )
+    if eng == "cached":
+        c, _, _ = run_worklist_cached(
+            a_tiles, b_tiles, wl.a_tid, wl.b_tid, wl.o_tid,
+            n_c_tiles=wl.n_c_tiles, precision=precision,
+        )
+        return c
     if eng == "pallas_grid":
         return run_worklist_pallas(
             a_tiles, b_tiles, wl.a_tid, wl.b_tid, wl.o_tid, wl.first,
@@ -328,8 +334,114 @@ def _run_pallas_streaming(item_ptr, a_ids, b_ids, a_tiles, b_tiles,
     )(item_ptr, a_ids, b_ids, a_tiles, b_tiles)
 
 
+def _make_streaming_kernel_grouped(n_items: int, nbuf: int, ogroup: int,
+                                   precision):
+    # Grid step = OGROUP consecutive C tiles.  Grid-step overhead (~0.7us
+    # measured: pipeline bookkeeping + output writeback turnaround) dominated
+    # the 1-tile-per-step variant at ~4 items/tile; grouping amortizes it.
+    def kernel(item_ptr_ref, a_ids_ref, b_ids_ref, o_ids_ref,
+               a_hbm, b_hbm, c_ref, abuf, bbuf, sems):
+        g = pl.program_id(0)
+        lo = item_ptr_ref[g]
+        hi = item_ptr_ref[g + 1]
+        base = g * ogroup
+
+        def dma_a(w, slot):
+            return pltpu.make_async_copy(
+                a_hbm.at[a_ids_ref[w]], abuf.at[slot], sems.at[slot, 0]
+            )
+
+        def dma_b(w, slot):
+            return pltpu.make_async_copy(
+                b_hbm.at[b_ids_ref[w]], bbuf.at[slot], sems.at[slot, 1]
+            )
+
+        def start(w):
+            slot = jax.lax.rem(w, nbuf)
+            dma_a(w, slot).start()
+            dma_b(w, slot).start()
+
+        @pl.when(g == 0)
+        def _warmup():
+            for w in range(nbuf):
+                @pl.when(w < n_items)
+                def _():
+                    start(w)
+
+        c_ref[...] = jnp.zeros_like(c_ref)
+
+        def body(w, _):
+            slot = jax.lax.rem(w, nbuf)
+            dma_a(w, slot).wait()
+            dma_b(w, slot).wait()
+            c_ref[o_ids_ref[w] - base] += jax.lax.dot_general(
+                abuf[slot], bbuf[slot],
+                dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+                precision=precision,
+            )
+            @pl.when(w + nbuf < n_items)
+            def _():
+                start(w + nbuf)
+            return 0
+
+        jax.lax.fori_loop(lo, hi, body, 0, unroll=False)
+
+    return kernel
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("n_c_tiles", "nbuf", "ogroup", "interpret", "precision"),
+)
+def _run_pallas_streaming_grouped(item_ptr, a_ids, b_ids, o_ids, a_tiles,
+                                  b_tiles, n_c_tiles: int, nbuf: int = 8,
+                                  ogroup: int = 8, interpret: bool = False,
+                                  precision: str = "default"):
+    W = a_ids.shape[0]
+    tm, tk = a_tiles.shape[1], a_tiles.shape[2]
+    tn = b_tiles.shape[2]
+    n_groups = -(-n_c_tiles // ogroup)
+    itemsize = jnp.dtype(a_tiles.dtype).itemsize
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=4,
+        grid=(n_groups,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pltpu.ANY),
+        ],
+        out_specs=pl.BlockSpec(
+            (ogroup, tm, tn), lambda g, *prefetch: (g, 0, 0)
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((nbuf, tm, tk), a_tiles.dtype),
+            pltpu.VMEM((nbuf, tk, tn), b_tiles.dtype),
+            pltpu.SemaphoreType.DMA((nbuf, 2)),
+        ],
+    )
+    out = pl.pallas_call(
+        _make_streaming_kernel_grouped(W, nbuf, ogroup,
+                                       _resolve_precision(precision)),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct(
+            (n_groups * ogroup, tm, tn), jnp.float32
+        ),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * W * tm * tk * tn,
+            bytes_accessed=W * (tm * tk + tk * tn) * itemsize
+            + n_c_tiles * tm * tn * 4,
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(item_ptr, a_ids, b_ids, o_ids, a_tiles, b_tiles)
+    return out[:n_c_tiles]
+
+
 def run_worklist_streaming(a_tiles, b_tiles, a_ids, b_ids, o_ids,
-                           n_c_tiles: int, nbuf: int = 8,
+                           n_c_tiles: int, nbuf: int = 8, ogroup: int = 8,
                            interpret: Optional[bool] = None,
                            precision: str = "default"):
     """Streaming-kernel engine for a row-major (o-sorted) worklist.
@@ -340,12 +452,15 @@ def run_worklist_streaming(a_tiles, b_tiles, a_ids, b_ids, o_ids,
     if interpret is None:
         interpret = not _on_tpu()
     o = np.asarray(o_ids)
-    item_ptr = np.searchsorted(o, np.arange(n_c_tiles + 1)).astype(np.int32)
-    return _run_pallas_streaming(
+    n_groups = -(-n_c_tiles // ogroup)
+    item_ptr = np.searchsorted(
+        o, np.arange(n_groups + 1) * ogroup
+    ).astype(np.int32)
+    return _run_pallas_streaming_grouped(
         jnp.asarray(item_ptr), jnp.asarray(a_ids), jnp.asarray(b_ids),
-        jnp.asarray(a_tiles), jnp.asarray(b_tiles),
-        n_c_tiles=n_c_tiles, nbuf=nbuf, interpret=bool(interpret),
-        precision=precision,
+        jnp.asarray(o_ids), jnp.asarray(a_tiles), jnp.asarray(b_tiles),
+        n_c_tiles=n_c_tiles, nbuf=nbuf, ogroup=ogroup,
+        interpret=bool(interpret), precision=precision,
     )
 
 
