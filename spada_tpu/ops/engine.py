@@ -475,16 +475,17 @@ def run_worklist_streaming(a_tiles, b_tiles, a_ids, b_ids, o_ids,
 # engine below the naive per-item streaming bound toward the unique-tile
 # minimum.
 
-def _make_cached_kernel(n_items: int, depth: int, precision):
-    # Per-item scalar state is PACKED into one int32 per operand to keep the
-    # prefetch SMEM footprint at 2 arrays (6 separate arrays overflow SMEM
-    # at large W and stall the Mosaic compile):
+def _make_cached_kernel(n_items: int, depth: int, ogroup: int, precision):
+    # Grid step = OGROUP consecutive C tiles (amortizes the ~0.7us grid-step
+    # overhead); per-item scalar state packed into one int32 per operand
+    # (6 separate arrays overflow SMEM at large W):
     #   packed = (tile_id << 9) | (slot << 1) | load
-    def kernel(item_ptr_ref, a_pk_ref, b_pk_ref, a_hbm, b_hbm, c_ref,
-               acache, bcache, asem, bsem):
-        c = pl.program_id(0)
-        lo = item_ptr_ref[c]
-        hi = item_ptr_ref[c + 1]
+    def kernel(item_ptr_ref, o_ids_ref, a_pk_ref, b_pk_ref,
+               a_hbm, b_hbm, c_ref, acache, bcache, asem, bsem):
+        g = pl.program_id(0)
+        lo = item_ptr_ref[g]
+        hi = item_ptr_ref[g + 1]
+        base = g * ogroup
 
         def unpack(pk):
             return pk >> 9, (pk >> 1) & 255, pk & 1
@@ -505,7 +506,7 @@ def _make_cached_kernel(n_items: int, depth: int, precision):
                     b_hbm.at[b_tid], bcache.at[sb], bsem.at[sb]
                 ).start()
 
-        @pl.when(c == 0)
+        @pl.when(g == 0)
         def _warmup():
             for w in range(depth):
                 @pl.when(w < n_items)
@@ -533,7 +534,7 @@ def _make_cached_kernel(n_items: int, depth: int, precision):
                     b_hbm.at[b_tid], bcache.at[sb], bsem.at[sb]
                 ).wait()
 
-            c_ref[0] += jax.lax.dot_general(
+            c_ref[o_ids_ref[w] - base] += jax.lax.dot_general(
                 acache[sa], bcache[sb],
                 dimension_numbers=(((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32,
@@ -548,26 +549,27 @@ def _make_cached_kernel(n_items: int, depth: int, precision):
 
 @functools.partial(
     jax.jit,
-    static_argnames=("n_c_tiles", "a_slots", "b_slots", "depth", "interpret",
-                     "precision"),
+    static_argnames=("n_c_tiles", "a_slots", "b_slots", "depth", "ogroup",
+                     "interpret", "precision"),
 )
-def _run_pallas_cached(item_ptr, a_packed, b_packed, a_tiles, b_tiles,
+def _run_pallas_cached(item_ptr, o_ids, a_packed, b_packed, a_tiles, b_tiles,
                        n_c_tiles: int, a_slots: int, b_slots: int,
-                       depth: int = 8, interpret: bool = False,
-                       precision: str = "default"):
+                       depth: int = 8, ogroup: int = 8,
+                       interpret: bool = False, precision: str = "default"):
     W = a_packed.shape[0]
     tm, tk = a_tiles.shape[1], a_tiles.shape[2]
     tn = b_tiles.shape[2]
+    n_groups = -(-n_c_tiles // ogroup)
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=3,
-        grid=(n_c_tiles,),
+        num_scalar_prefetch=4,
+        grid=(n_groups,),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.ANY),
             pl.BlockSpec(memory_space=pltpu.ANY),
         ],
         out_specs=pl.BlockSpec(
-            (1, tm, tn),
-            lambda c, *prefetch: (c, 0, 0),
+            (ogroup, tm, tn),
+            lambda g, *prefetch: (g, 0, 0),
         ),
         scratch_shapes=[
             pltpu.VMEM((a_slots, tm, tk), a_tiles.dtype),
@@ -577,10 +579,12 @@ def _run_pallas_cached(item_ptr, a_packed, b_packed, a_tiles, b_tiles,
         ],
     )
     itemsize = jnp.dtype(a_tiles.dtype).itemsize
-    return pl.pallas_call(
-        _make_cached_kernel(W, depth, _resolve_precision(precision)),
+    out = pl.pallas_call(
+        _make_cached_kernel(W, depth, ogroup, _resolve_precision(precision)),
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((n_c_tiles, tm, tn), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct(
+            (n_groups * ogroup, tm, tn), jnp.float32
+        ),
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary",),
         ),
@@ -591,7 +595,8 @@ def _run_pallas_cached(item_ptr, a_packed, b_packed, a_tiles, b_tiles,
             transcendentals=0,
         ),
         interpret=interpret,
-    )(item_ptr, a_packed, b_packed, a_tiles, b_tiles)
+    )(item_ptr, o_ids, a_packed, b_packed, a_tiles, b_tiles)
+    return out[:n_c_tiles]
 
 
 def _pack_plan(ids, plan) -> np.ndarray:
@@ -603,7 +608,8 @@ def _pack_plan(ids, plan) -> np.ndarray:
 
 def run_worklist_cached(a_tiles, b_tiles, a_ids, b_ids, o_ids,
                         n_c_tiles: int, a_slots: int = 16, b_slots: int = 48,
-                        depth: int = 8, interpret: Optional[bool] = None,
+                        depth: int = 8, ogroup: int = 8,
+                        interpret: Optional[bool] = None,
                         precision: str = "default"):
     """VMEM-cached engine; returns (c_tiles, a_plan, b_plan)."""
     from spada_tpu.ops.cacheplan import plan_tile_cache
@@ -611,15 +617,18 @@ def run_worklist_cached(a_tiles, b_tiles, a_ids, b_ids, o_ids,
     if interpret is None:
         interpret = not _on_tpu()
     o = np.asarray(o_ids)
-    item_ptr = np.searchsorted(o, np.arange(n_c_tiles + 1)).astype(np.int32)
+    n_groups = -(-n_c_tiles // ogroup)
+    item_ptr = np.searchsorted(
+        o, np.arange(n_groups + 1) * ogroup
+    ).astype(np.int32)
     a_plan = plan_tile_cache(a_ids, a_slots, depth)
     b_plan = plan_tile_cache(b_ids, b_slots, depth)
     c = _run_pallas_cached(
-        jnp.asarray(item_ptr),
+        jnp.asarray(item_ptr), jnp.asarray(o_ids),
         jnp.asarray(_pack_plan(a_ids, a_plan)),
         jnp.asarray(_pack_plan(b_ids, b_plan)),
         jnp.asarray(a_tiles), jnp.asarray(b_tiles),
         n_c_tiles=n_c_tiles, a_slots=a_slots, b_slots=b_slots, depth=depth,
-        interpret=bool(interpret), precision=precision,
+        ogroup=ogroup, interpret=bool(interpret), precision=precision,
     )
     return c, a_plan, b_plan
