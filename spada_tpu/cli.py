@@ -49,6 +49,13 @@ def build_parser() -> argparse.ArgumentParser:
                    help="skip printing the first rows of C")
     p.add_argument("--window-k", type=int, default=None,
                    help="traffic mode: A-scalars per window (default full-K)")
+    p.add_argument("--engine", default=None,
+                   choices=["auto", "streaming", "cached", "xla",
+                            "pallas_grid"],
+                   help="tile engine override (default: config/auto)")
+    p.add_argument("--dtype", default=None,
+                   choices=["float32", "bfloat16"],
+                   help="tile dtype override (bfloat16 implies fast MXU)")
     return p
 
 
@@ -173,6 +180,12 @@ def main(argv=None) -> int:
     args = build_parser().parse_args(argv)
     config = SpadaConfig.from_json(args.config) if args.config else SpadaConfig()
     config.dataflow = args.dataflow
+    if args.engine:
+        config.engine = args.engine
+    if args.dtype:
+        config.engine_dtype = args.dtype
+        if args.dtype == "bfloat16":
+            config.precision = "default"
     w = load_workload(args, config)
     _print_gemm_stats(w)
     return {

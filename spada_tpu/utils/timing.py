@@ -69,10 +69,20 @@ def device_time(
         return jax.lax.fori_loop(0, K, body, jnp.float32(0.0))
 
     float(runK(*args))  # compile + warm
-    best = float("inf")
-    for _ in range(trials):
+
+    def run_once(kk):
         t0 = time.perf_counter()
-        float(runK(*args))
-        el = (time.perf_counter() - t0 - roundtrip) / k
-        best = min(best, el)
-    return max(best, 1e-9)
+        float(runK(*args, K=kk))
+        return time.perf_counter() - t0
+
+    # ensure the chained work dwarfs round-trip jitter: with K*work of the
+    # same order as the ~30ms round trip, min/median over trials underflows
+    # (a 0.4ms reading was observed for a true 3.2ms kernel)
+    t = run_once(k)
+    while t - roundtrip < 4 * roundtrip and k < 512:
+        k *= 4
+        t = run_once(k)
+    samples = [(t - roundtrip) / k]
+    for _ in range(trials - 1):
+        samples.append((run_once(k) - roundtrip) / k)
+    return max(float(np.median(samples)), 1e-9)
