@@ -60,7 +60,7 @@ def main() -> int:
     n, band = (65536, 384) if on_tpu else (8192, 96)
     a = banded_csr(n, n, bandwidth=band, seed=0, dtype=np.float32)
     b = banded_csr(n, n, bandwidth=band, seed=1, dtype=np.float32)
-    tm = tk = tn = 128
+    tm = tk = tn = 256 if on_tpu else 128
     a_bsr = BsrMatrix.from_csr(a, tm, tk, dtype=np.float32)
     b_bsr = BsrMatrix.from_csr(b, tk, tn, dtype=np.float32)
     wl = build_worklist(a_bsr, b_bsr, order="row")
@@ -76,16 +76,24 @@ def main() -> int:
                   jnp.asarray(wl.o_tid))
 
     if on_tpu:
-        from spada_tpu.ops.engine import _run_pallas_streaming
+        from spada_tpu.ops.cacheplan import plan_tile_cache
+        from spada_tpu.ops.engine import _pack_plan, _run_pallas_cached
 
+        a_slots, b_slots, depth, ogroup = 12, 24, 8, 8
+        a_plan = plan_tile_cache(wl.a_tid, a_slots, depth)
+        b_plan = plan_tile_cache(wl.b_tid, b_slots, depth)
+        apk = jnp.asarray(_pack_plan(wl.a_tid, a_plan))
+        bpk = jnp.asarray(_pack_plan(wl.b_tid, b_plan))
+        n_groups = -(-nC // ogroup)
         item_ptr = jnp.asarray(
             np.searchsorted(np.asarray(wl.o_tid),
-                            np.arange(nC + 1)).astype(np.int32)
+                            np.arange(n_groups + 1) * ogroup).astype(np.int32)
         )
 
         def engine(at, bt):
-            return _run_pallas_streaming(
-                item_ptr, ai, bi, at, bt, n_c_tiles=nC, nbuf=8,
+            return _run_pallas_cached(
+                item_ptr, oi, apk, bpk, at, bt, n_c_tiles=nC,
+                a_slots=a_slots, b_slots=b_slots, depth=depth, ogroup=ogroup,
                 interpret=False, precision="default",
             )
     else:
@@ -105,7 +113,7 @@ def main() -> int:
             return c
 
     rt = measure_roundtrip()
-    elapsed = device_time(engine, (at, bt), k=4, trials=3, roundtrip=rt)
+    elapsed = device_time(engine, (at, bt), k=16, trials=5, roundtrip=rt)
 
     # ---- speed-of-light model (naive streaming bound, spec bandwidth) ----
     bytes_moved = W * (tm * tk + tk * tn) * isz + nC * tm * tn * 4

@@ -1,22 +1,33 @@
 """Numeric phase: the block-sparse tile-product engines.
 
-Three interchangeable engines compute C tiles from a :class:`WorkList`:
+Four interchangeable engines compute C tiles from a :class:`WorkList`
+(fastest first on TPU; measured at n=64k banded, bf16 tiles):
 
-- :func:`run_worklist_streaming` — **the flagship TPU kernel.**  Grid = one
-  step per C tile (static output index map: the accumulator tile lives in
-  VMEM for exactly its run, the psum-buffer semantics of the PE pipeline,
-  simulator.rs:117-235); A/B tiles stream HBM→VMEM through a ring of manual
-  async DMAs maintained *across* grid steps, so the pipeline never drains at
-  run boundaries — the realization of the reference's stream-buffer +
-  fiber-cache latency hiding (simulator.rs:728-736, storage.rs:737-818).
-  Measured 2.4x (f32) / 3.4x (bf16) faster than the XLA engine at n=64k.
+- :func:`run_worklist_cached` — **the flagship TPU kernel** (~3.4x the XLA
+  engine).  Grid step = ``ogroup`` consecutive C tiles (amortizing the
+  ~0.7us/step pipeline overhead); A/B tiles live in slot-addressed VMEM
+  caches whose Belady load/evict schedule is host-planned
+  (:mod:`spada_tpu.ops.cacheplan`) — the reference's fiber cache
+  (storage.rs:460-1007) with decisions moved to plan time, so reused tiles
+  cost zero HBM traffic and the device stays branch-light.
+- :func:`run_worklist_streaming` — same grouped-output structure, but A/B
+  tiles stream through an NBUF-slot ring of manual async DMAs maintained
+  *across* grid steps (never drains at run boundaries) — the reference's
+  stream-buffer + mem-latency hiding (simulator.rs:728-736,
+  storage.rs:737-818) without the cache.  Fallback when tile ids overflow
+  the cached kernel's packed encoding.
 - :func:`run_worklist_xla` — portable pure-XLA engine (gather + batched
-  matmul + scatter-add).  Used on CPU (tests / virtual meshes), for k-major
-  (outer-product) schedules, and as a differential oracle for the kernels.
-- :func:`run_worklist_pallas` — the auto-pipelined Pallas variant (one grid
-  step per work item).  Kept as a reference point; its data-dependent output
-  index map forces a per-step output flush that serializes the pipeline, so
-  it loses to both engines above on TPU.
+  matmul + scatter-add).  CPU default (tests / virtual meshes), k-major
+  (outer-product) schedules, the `precision='highest'` f32-exact oracle
+  path, and the differential oracle for the kernels.
+- :func:`run_worklist_pallas` — the auto-pipelined variant (one grid step
+  per work item), kept as a reference point: its data-dependent output index
+  map forces a per-step output flush that serializes the pipeline (~8x
+  slower).
+
+In all engines the VMEM-resident f32 accumulation of an output run realizes
+the psum-buffer/sorting-network/merge-tree multiply-merge of the reference's
+PE pipeline (simulator.rs:117-235) as MXU matmul + add.
 """
 
 from __future__ import annotations
@@ -43,17 +54,19 @@ def default_use_pallas() -> bool:
 
 
 def select_engine(order: str = "row", use_pallas: Optional[bool] = None) -> str:
-    """Auto engine choice: 'streaming' | 'xla' | 'pallas_grid'.
+    """Auto engine choice: 'cached' | 'streaming' | 'xla' | 'pallas_grid'.
 
-    - TPU + row-major (o-sorted) worklist → the streaming kernel.
+    - TPU + row-major (o-sorted) worklist → the VMEM-cached kernel (fastest
+      measured; falls back to streaming for giant tile counts where the
+      packed id encoding overflows).
     - k-major (outer-product) schedules need scatter accumulation → XLA.
-    - CPU → XLA (the streaming kernel runs only interpreted there).
+    - CPU → XLA (the Pallas kernels run only interpreted there).
     - ``use_pallas=True`` forces the legacy auto-pipelined megakernel.
     """
     if use_pallas:
         return "pallas_grid"
     if order == "row" and _on_tpu() and use_pallas is None:
-        return "streaming"
+        return "cached"
     return "xla"
 
 
@@ -67,8 +80,14 @@ def run_worklist(wl, a_tiles, b_tiles, precision: str = "highest",
     compiles the same HIGHEST contraction in seconds.
     """
     eng = engine or select_engine(wl.order)
-    if eng == "streaming" and precision == "highest" and engine is None:
+    if eng in ("streaming", "cached") and precision == "highest" \
+            and engine is None:
         eng = "xla"
+    if eng == "cached" and (
+        len(wl.a_tid) == 0
+        or max(int(np.max(wl.a_tid)), int(np.max(wl.b_tid))) >= (1 << 22)
+    ):
+        eng = "streaming" if len(wl.a_tid) else "xla"
     if eng == "streaming":
         return run_worklist_streaming(
             a_tiles, b_tiles, wl.a_tid, wl.b_tid, wl.o_tid,
