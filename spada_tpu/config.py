@@ -67,6 +67,12 @@ class SpadaConfig:
     # memory budget for densifying C in the outer-product path (bytes)
     dense_c_budget: int = 2 << 30
 
+    # measured per-work-item kernel overhead by tile edge (v5e, cached
+    # engine) — the planner's tile-size cost model input
+    engine_item_overhead_s: dict = dataclasses.field(
+        default_factory=lambda: {128: 0.15e-6, 256: 0.45e-6}
+    )
+
     # ---- HBM roofline constants of the target chip (v5e defaults) ----
     hbm_bytes_per_s: float = 819e9
     peak_flops_f32: float = 98e12

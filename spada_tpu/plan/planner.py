@@ -297,3 +297,56 @@ def execute_plan(
         useful_flops=_count_useful_flops(a, b),
         elapsed_s=elapsed,
     )
+
+
+# ----------------------------------------------------------------------------
+# Matrix-level tile-size selection
+# ----------------------------------------------------------------------------
+
+def choose_tile_size(
+    a: CsrMatrix,
+    b: CsrMatrix,
+    config: Optional[SpadaConfig] = None,
+    candidates=(128, 256),
+):
+    """Pick the MXU tile edge T for this matrix pair.
+
+    The reference adapts block shapes to sparsity structure cycle-by-cycle;
+    on TPU the equivalent matrix-level decision is the tile granularity:
+    bigger tiles amortize the measured per-work-item overhead (~0.15us at
+    T=128, ~0.45us at T=256 on v5e) but pay padding bytes/FLOPs on sparse
+    structure.  Evaluated with the same closed-form byte/overhead model the
+    panel planner uses:
+
+        t(T) = max(bytes(T) / BW,  W(T) * t_item(T),  2 W(T) T^3 / peak)
+
+    Returns (T, details dict).
+    """
+    from spada_tpu.sparse.bsr import tiles_of_csr
+
+    config = config or SpadaConfig()
+    details = {}
+    best_t, best_cost = candidates[0], float("inf")
+    itemsize = 2 if config.engine_dtype == "bfloat16" else 4
+    for T in candidates:
+        _, a_cols, _ = tiles_of_csr(a, T, T)
+        b_rows_t, _, _ = tiles_of_csr(b, T, T)
+        b_fan = np.bincount(b_rows_t, minlength=-(-b.shape[0] // T))
+        W = int(b_fan[a_cols].sum())
+        # symbolic nC at this granularity is <= W; approximate with the
+        # nnz-tile count of the (cheap) boolean product bound: use W as an
+        # upper bound and the A-tile-row x B-tile-col grid as a floor
+        n_c_est = min(W, (-(-a.shape[0] // T)) * (-(-b.shape[1] // T)))
+        bytes_moved = W * 2 * T * T * itemsize + n_c_est * T * T * 4
+        t_item = config.engine_item_overhead_s.get(
+            T, 0.15e-6 * (T / 128) ** 1.5
+        )
+        t = max(
+            bytes_moved / config.hbm_bytes_per_s,
+            W * t_item,
+            2 * W * T ** 3 / config.peak_flops_bf16,
+        )
+        details[T] = {"W": W, "bytes": bytes_moved, "t_est": t}
+        if t < best_cost:
+            best_cost, best_t = t, T
+    return best_t, details

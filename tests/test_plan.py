@@ -310,3 +310,21 @@ def test_segment_trace_records():
     finally:
         trace.enable(False)
         trace.clear()
+
+
+def test_choose_tile_size():
+    from spada_tpu.config import SpadaConfig
+    from spada_tpu.io.workloads import banded_csr, random_csr
+    from spada_tpu.plan.planner import choose_tile_size
+
+    # dense-ish banded structure at scale: fat tiles win (item overhead)
+    a = banded_csr(16384, 16384, 192, seed=0)
+    b = banded_csr(16384, 16384, 192, seed=1)
+    t_big, det = choose_tile_size(a, b, SpadaConfig(engine_dtype="bfloat16"))
+    assert t_big == 256, det
+
+    # narrow band (~half a 128 tile): fat tiles quadruple padding bytes
+    a2 = banded_csr(16384, 16384, 32, seed=2)
+    b2 = banded_csr(16384, 16384, 32, seed=3)
+    t_small, det2 = choose_tile_size(a2, b2, SpadaConfig())
+    assert t_small == 128, det2
