@@ -56,6 +56,8 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--dtype", default=None,
                    choices=["float32", "bfloat16"],
                    help="tile dtype override (bfloat16 implies fast MXU)")
+    p.add_argument("--fast", action="store_true",
+                   help="throughput profile: bf16 tiles + adaptive tile size")
     return p
 
 
@@ -96,8 +98,19 @@ def cmd_run(args, config: SpadaConfig, w: GemmWorkload) -> int:
     dataflow = args.dataflow
     plan = None
     if dataflow == "spada":
-        from spada_tpu.plan.planner import plan_spgemm
+        from spada_tpu.plan.planner import choose_tile_size, plan_spgemm
 
+        t_best, t_det = choose_tile_size(w.a, w.b, config)
+        if t_best != config.tile_k:
+            config.tile_k = config.tile_n = t_best
+            config.default_tm = t_best
+            config.tm_choices = tuple(
+                t for t in config.tm_choices if t <= t_best
+            ) + (t_best,)
+        ests = ", ".join(
+            f"{k}: {v['t_est'] * 1e3:.2f}ms" for k, v in t_det.items()
+        )
+        print(f"tile size: {t_best}  (model: {ests})")
         plan = plan_spgemm(w.a, w.b, config)
         print(f"plan: {len(plan.panels)} panels, tm histogram "
               f"{plan.tm_histogram()}")
@@ -180,6 +193,9 @@ def main(argv=None) -> int:
     args = build_parser().parse_args(argv)
     config = SpadaConfig.from_json(args.config) if args.config else SpadaConfig()
     config.dataflow = args.dataflow
+    if args.fast:
+        config.engine_dtype = "bfloat16"
+        config.precision = "default"
     if args.engine:
         config.engine = args.engine
     if args.dtype:

@@ -79,6 +79,15 @@ class SpadaConfig:
     peak_flops_bf16: float = 197e12
 
     @classmethod
+    def fast(cls, **overrides) -> "SpadaConfig":
+        """Throughput profile: bf16 tiles, fast MXU passes, adaptive tile
+        size (the bench configuration).  Accuracy: ~bf16 input rounding
+        (values within ~0.5% of f32); use the default profile for the
+        scipy-exact f32 path."""
+        cfg = cls(engine_dtype="bfloat16", precision="default", **overrides)
+        return cfg
+
+    @classmethod
     def from_json(cls, path: str) -> "SpadaConfig":
         """Load a config JSON.
 

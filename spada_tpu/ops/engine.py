@@ -635,6 +635,17 @@ def run_worklist_cached(a_tiles, b_tiles, a_ids, b_ids, o_ids,
 
     if interpret is None:
         interpret = not _on_tpu()
+    # fit the caches + output block in VMEM (16MB/core): shrink slot counts
+    # proportionally if the configured sizes would overflow
+    tm, tk = a_tiles.shape[1], a_tiles.shape[2]
+    tn = b_tiles.shape[2]
+    isz = np.dtype(a_tiles.dtype).itemsize
+    budget = 12 * 1024 * 1024 - ogroup * tm * tn * 4
+    need = (a_slots * tm * tk + b_slots * tk * tn) * isz
+    if need > budget:
+        scale = budget / need
+        a_slots = max(depth + 2, int(a_slots * scale))
+        b_slots = max(depth + 2, int(b_slots * scale))
     o = np.asarray(o_ids)
     n_groups = -(-n_c_tiles // ogroup)
     item_ptr = np.searchsorted(
