@@ -192,3 +192,32 @@ def banded_csr(m: int, n: int, bandwidth: int, seed: int = 0, dtype=np.float64) 
     cols = np.clip(rows + offs, 0, n - 1)
     vals = rng.standard_normal(m * bandwidth).astype(dtype)
     return CsrMatrix.from_coo((m, n), rows, cols, vals)
+
+
+def localized_powerlaw_csr(
+    m: int, n: int, avg_nnz_per_row: float, alpha: float = 1.8,
+    window_frac: float = 0.02, hub_frac: float = 0.1, seed: int = 0,
+    dtype=np.float64,
+) -> CsrMatrix:
+    """Power-law row degrees with column locality (community structure).
+
+    Most of a row's columns fall in a window around the diagonal (graph
+    communities / register blocking in SuiteSparse matrices); a fraction go
+    to uniform "hub" columns.  Unlike :func:`powerlaw_csr`'s uniform columns,
+    this produces nonempty MXU tiles — the irregular-but-clustered regime the
+    adaptive planner (and the reference's adaptive dataflow) targets.
+    """
+    rng = np.random.default_rng(seed)
+    raw = rng.pareto(alpha, m) + 1.0
+    lens = np.minimum((raw / raw.mean() * avg_nnz_per_row).astype(np.int64), n)
+    lens = np.maximum(lens, 1)
+    total = int(lens.sum())
+    rows = np.repeat(np.arange(m), lens)
+    window = max(int(n * window_frac), 64)
+    centers = (rows * n) // m
+    local = centers + rng.integers(-window, window + 1, total)
+    hubs = rng.integers(0, n, total)
+    is_hub = rng.random(total) < hub_frac
+    cols = np.clip(np.where(is_hub, hubs, local), 0, n - 1)
+    vals = rng.standard_normal(total).astype(dtype)
+    return CsrMatrix.from_coo((m, n), rows, cols, vals)

@@ -137,3 +137,20 @@ def test_nn_structured_block_pruning():
     # block pruning -> tile occupancy equals scalar density of kept blocks
     assert bsr.n_tiles <= 5  # 25% of 16 blocks, rounded up
     assert bsr.occupancy() > 0.9
+
+
+def test_localized_powerlaw_tile_density():
+    import numpy as np
+
+    from spada_tpu.io.workloads import localized_powerlaw_csr, powerlaw_csr
+    from spada_tpu.sparse.bsr import BsrMatrix
+    from spada_tpu.sparse.csr import CsrMatrix
+
+    loc = localized_powerlaw_csr(16384, 16384, 8.0, window_frac=0.005,
+                                 hub_frac=0.05, seed=1)
+    uni = powerlaw_csr(16384, 16384, 8.0, seed=1)
+    b_loc = BsrMatrix.from_csr(loc, 128, 128)
+    b_uni = BsrMatrix.from_csr(uni, 128, 128)
+    # locality -> denser tiles (higher occupancy, fewer tiles)
+    assert b_loc.occupancy() > 2 * b_uni.occupancy()
+    assert b_loc.n_tiles < b_uni.n_tiles
