@@ -154,3 +154,28 @@ def test_localized_powerlaw_tile_density():
     # locality -> denser tiles (higher occupancy, fewer tiles)
     assert b_loc.occupancy() > 2 * b_uni.occupancy()
     assert b_loc.n_tiles < b_uni.n_tiles
+
+
+def test_affinity_reordering_valid_permutation():
+    import numpy as np
+
+    from spada_tpu.io.workloads import affinity_based_row_reordering
+    from spada_tpu.sparse.csr import CsrMatrix
+
+    # two interleaved column communities: affinity ordering should place
+    # same-community rows adjacently more often than the interleaved input
+    rows, cols = [], []
+    for r in range(40):
+        comm = r % 2
+        for c in range(10):
+            rows.append(r)
+            cols.append(comm * 50 + (r // 2 + c) % 50)
+    a = CsrMatrix.from_coo((40, 100), rows, cols, np.ones(len(rows)))
+    order = affinity_based_row_reordering(a, cache_size=4096,
+                                          a_avg_row_len=10, b_avg_row_len=10)
+    assert sorted(order.tolist()) == list(range(40))
+    same_comm_adjacent = sum(
+        1 for i in range(39) if order[i] % 2 == order[i + 1] % 2
+    )
+    interleaved_adjacent = 0  # strictly alternating input has none
+    assert same_comm_adjacent > 20 > interleaved_adjacent
