@@ -41,3 +41,22 @@ def test_bsr_occupancy_signal():
     b1 = BsrMatrix.from_csr(dense_ish, 128, 128)
     b2 = BsrMatrix.from_csr(sparse, 128, 128)
     assert b1.occupancy() > b2.occupancy()
+
+
+# ---- timing utility (CPU smoke; the TPU-specific behavior is documented
+# in BENCH_NOTES.md and exercised by bench.py) ----
+
+def test_device_time_positive():
+    import jax.numpy as jnp
+
+    from spada_tpu.utils.timing import device_time, measure_roundtrip
+
+    rt = measure_roundtrip()
+    assert rt > 0
+
+    def fn(x):
+        return x * 2.0
+
+    x = jnp.ones((256, 256), jnp.float32)
+    el = device_time(fn, (x,), k=4, trials=2, roundtrip=rt)
+    assert el > 0
