@@ -470,6 +470,18 @@ def run_worklist_streaming(a_tiles, b_tiles, a_ids, b_ids, o_ids,
     """
     if interpret is None:
         interpret = not _on_tpu()
+    if len(a_ids) > _MAX_ITEMS_PER_LAUNCH:
+        outs = []
+        for o_lo, o_hi, w_lo, w_hi in _split_by_items(
+            o_ids, n_c_tiles, _MAX_ITEMS_PER_LAUNCH
+        ):
+            outs.append(run_worklist_streaming(
+                a_tiles, b_tiles, a_ids[w_lo:w_hi], b_ids[w_lo:w_hi],
+                np.asarray(o_ids[w_lo:w_hi]) - o_lo, o_hi - o_lo,
+                nbuf=nbuf, ogroup=ogroup, interpret=interpret,
+                precision=precision,
+            ))
+        return jnp.concatenate(outs, axis=0)
     o = np.asarray(o_ids)
     n_groups = -(-n_c_tiles // ogroup)
     item_ptr = np.searchsorted(
@@ -625,6 +637,31 @@ def _pack_plan(ids, plan) -> np.ndarray:
     return pk.astype(np.int32)
 
 
+# scalar-prefetch operands live in SMEM (1 MiB): cap items per kernel launch
+_MAX_ITEMS_PER_LAUNCH = 250_000
+
+
+def _split_by_items(o_ids, n_c_tiles: int, max_items: int):
+    """Slab boundaries [(o_lo, o_hi, w_lo, w_hi)] at C-tile granularity."""
+    o = np.asarray(o_ids)
+    slabs = []
+    o_lo = 0
+    w_lo = 0
+    while o_lo < n_c_tiles:
+        w_cap = min(w_lo + max_items, len(o))
+        if w_cap == len(o):
+            o_hi = n_c_tiles
+        else:
+            o_hi = max(int(o[w_cap - 1]), o_lo + 1)  # last complete tile
+        w_hi = int(np.searchsorted(o, o_hi))
+        if w_hi == w_lo:  # one tile exceeds the cap (can't split a run)
+            o_hi = o_lo + 1
+            w_hi = int(np.searchsorted(o, o_hi))
+        slabs.append((o_lo, o_hi, w_lo, w_hi))
+        o_lo, w_lo = o_hi, w_hi
+    return slabs
+
+
 def run_worklist_cached(a_tiles, b_tiles, a_ids, b_ids, o_ids,
                         n_c_tiles: int, a_slots: int = 16, b_slots: int = 48,
                         depth: int = 8, ogroup: int = 8,
@@ -635,6 +672,30 @@ def run_worklist_cached(a_tiles, b_tiles, a_ids, b_ids, o_ids,
 
     if interpret is None:
         interpret = not _on_tpu()
+    if len(a_ids) > _MAX_ITEMS_PER_LAUNCH:
+        # split into o-slab launches (SMEM prefetch cap); plans are
+        # per-slab, so each launch re-warms its cache (cold loads only at
+        # slab boundaries)
+        outs, a_loads, b_loads = [], 0, 0
+        for o_lo, o_hi, w_lo, w_hi in _split_by_items(
+            o_ids, n_c_tiles, _MAX_ITEMS_PER_LAUNCH
+        ):
+            c, ap, bp = run_worklist_cached(
+                a_tiles, b_tiles, a_ids[w_lo:w_hi], b_ids[w_lo:w_hi],
+                np.asarray(o_ids[w_lo:w_hi]) - o_lo, o_hi - o_lo,
+                a_slots=a_slots, b_slots=b_slots, depth=depth,
+                ogroup=ogroup, interpret=interpret, precision=precision,
+            )
+            outs.append(c)
+            a_loads += ap.n_loads
+            b_loads += bp.n_loads
+        from spada_tpu.ops.cacheplan import CachePlan
+
+        agg_a = CachePlan(np.zeros(0, np.int32), np.zeros(0, np.int32),
+                          a_slots, a_loads)
+        agg_b = CachePlan(np.zeros(0, np.int32), np.zeros(0, np.int32),
+                          b_slots, b_loads)
+        return jnp.concatenate(outs, axis=0), agg_a, agg_b
     # fit the caches + output block in VMEM (16MB/core): shrink slot counts
     # proportionally if the configured sizes would overflow
     tm, tk = a_tiles.shape[1], a_tiles.shape[2]

@@ -220,3 +220,34 @@ def test_spgemm_csr_matches_to_csr():
         np.asarray(one.to_scipy().todense()),
         np.asarray(slab.to_scipy().todense()), rtol=1e-6, atol=1e-6,
     )
+
+
+def test_engine_item_chunking():
+    """W-chunked launches (SMEM prefetch cap) == single launch."""
+    from spada_tpu.io.workloads import random_csr
+    from spada_tpu.ops import engine as eng
+    from spada_tpu.ops.engine import run_worklist_cached, run_worklist_xla
+    from spada_tpu.ops.worklist import build_worklist
+    from spada_tpu.sparse.bsr import BsrMatrix
+
+    a = random_csr(512, 400, 0.05, seed=80)
+    b = random_csr(400, 512, 0.05, seed=81)
+    ab = BsrMatrix.from_csr(a, 64, 64, dtype=np.float32)
+    bb = BsrMatrix.from_csr(b, 64, 64, dtype=np.float32)
+    wl = build_worklist(ab, bb, order="row")
+    assert wl.n_items > 50
+    old = eng._MAX_ITEMS_PER_LAUNCH
+    try:
+        eng._MAX_ITEMS_PER_LAUNCH = 37  # force many slabs
+        out, _, _ = run_worklist_cached(
+            ab.tiles, bb.tiles, wl.a_tid, wl.b_tid, wl.o_tid,
+            n_c_tiles=wl.n_c_tiles, a_slots=10, b_slots=10, depth=4,
+            precision="highest",
+        )
+    finally:
+        eng._MAX_ITEMS_PER_LAUNCH = old
+    ref = np.asarray(run_worklist_xla(
+        ab.tiles, bb.tiles, wl.a_tid, wl.b_tid, wl.o_tid,
+        n_c_tiles=wl.n_c_tiles, precision="highest",
+    ))
+    np.testing.assert_allclose(np.asarray(out), ref, rtol=1e-5, atol=1e-5)

@@ -1,8 +1,9 @@
 """Adaptive-vs-fixed dataflow evaluation on TPU.
 
-Runs the headline workload families through fixed dataflow settings and the
-adaptive planner, reporting warmed wall time (includes result readback, which
-is the only reliable fence on this runtime).  Writes EVAL.md.
+Times the tile ENGINE per setting with the readback-fenced device timer
+(bulk C readback over the tunneled runtime runs at ~5 MB/s and would swamp
+compute; see BENCH_NOTES.md).  The spada setting sums its per-segment engine
+times.  Writes EVAL.md.
 
 Usage: python tools/eval_adaptive.py [--quick]
 """
@@ -10,21 +11,43 @@ Usage: python tools/eval_adaptive.py [--quick]
 import argparse
 import os
 import sys
-import time
 
 os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/repo/.jax_cache")
 
 import numpy as np
 
 
-def run_setting(w, config, dataflow, tm=None, plan=None):
-    from spada_tpu.ops.spgemm import spgemm
+def time_worklist(wl, a_tiles, b_tiles, rt):
+    """Engine seconds for one worklist (cached kernel, bf16)."""
+    import jax.numpy as jnp
 
-    spgemm(w.a, w.b, config, dataflow=dataflow, tm=tm, plan=plan)  # warm
-    t0 = time.perf_counter()
-    res = spgemm(w.a, w.b, config, dataflow=dataflow, tm=tm, plan=plan)
-    el = time.perf_counter() - t0
-    return el, res
+    from spada_tpu.ops.cacheplan import plan_tile_cache
+    from spada_tpu.ops.engine import _pack_plan, _run_pallas_cached
+    from spada_tpu.utils.timing import device_time
+
+    if wl.n_items == 0:
+        return 0.0
+    a_slots, b_slots, depth, ogroup = 12, 24, 8, 8
+    ap = plan_tile_cache(wl.a_tid, a_slots, depth)
+    bp = plan_tile_cache(wl.b_tid, b_slots, depth)
+    apk = jnp.asarray(_pack_plan(wl.a_tid, ap))
+    bpk = jnp.asarray(_pack_plan(wl.b_tid, bp))
+    oi = jnp.asarray(wl.o_tid)
+    ng = -(-wl.n_c_tiles // ogroup)
+    ip = jnp.asarray(np.searchsorted(
+        np.asarray(wl.o_tid), np.arange(ng + 1) * ogroup
+    ).astype(np.int32))
+    at = jnp.asarray(a_tiles).astype(jnp.bfloat16)
+    bt = jnp.asarray(b_tiles).astype(jnp.bfloat16)
+
+    def eng(at, bt):
+        return _run_pallas_cached(
+            ip, oi, apk, bpk, at, bt, n_c_tiles=wl.n_c_tiles,
+            a_slots=a_slots, b_slots=b_slots, depth=depth, ogroup=ogroup,
+            interpret=False, precision="default",
+        )
+
+    return device_time(eng, (at, bt), k=8, trials=3, roundtrip=rt)
 
 
 def main():
@@ -39,73 +62,84 @@ def main():
     )
 
     from spada_tpu.config import SpadaConfig
-    from spada_tpu.io.workloads import (GemmWorkload, banded_csr,
-                                        localized_powerlaw_csr)
-    from spada_tpu.plan.planner import choose_tile_size, plan_spgemm
+    from spada_tpu.io.workloads import (banded_csr, localized_powerlaw_csr)
+    from spada_tpu.ops.worklist import build_worklist
+    from spada_tpu.plan.planner import (_slice_rows_padded, choose_tile_size,
+                                        plan_spgemm, PanelSpec)
+    from spada_tpu.sparse.bsr import BsrMatrix
+    from spada_tpu.utils.timing import measure_roundtrip
 
-    n = 8192 if args.quick else 32768
+    n = 8192 if args.quick else 16384
     workloads = {
-        "banded": GemmWorkload(
-            "banded",
+        "banded": (
             banded_csr(n, n, 192, seed=0, dtype=np.float32),
             banded_csr(n, n, 192, seed=1, dtype=np.float32),
         ),
-        "loc-powerlaw": GemmWorkload(
-            "loc-powerlaw",
-            localized_powerlaw_csr(n, n, 24.0, window_frac=0.004,
+        "loc-powerlaw": (
+            localized_powerlaw_csr(n, n, 32.0, window_frac=0.01,
                                    hub_frac=0.02, seed=2, dtype=np.float32),
-            localized_powerlaw_csr(n, n, 24.0, window_frac=0.004,
+            localized_powerlaw_csr(n, n, 32.0, window_frac=0.01,
                                    hub_frac=0.02, seed=3, dtype=np.float32),
         ),
     }
 
+    rt = measure_roundtrip()
     rows = []
-    for name, w in workloads.items():
-        base = SpadaConfig.fast()
-        t_best, det = choose_tile_size(w.a, w.b, base)
-        base.tile_k = base.tile_n = t_best
-        base.default_tm = t_best
-        base.tm_choices = tuple(
-            t for t in (32, 64, 128, 256) if t <= t_best
-        )
+    for name, (a, b) in workloads.items():
+        cfg = SpadaConfig.fast()
+        t_best, _ = choose_tile_size(a, b, cfg)
+        cfg.tile_k = cfg.tile_n = t_best
+        cfg.default_tm = t_best
+        cfg.tm_choices = tuple(t for t in (32, 64, 128, 256) if t <= t_best)
+        b_bsr = BsrMatrix.from_csr(b, t_best, t_best, dtype=np.float32)
         results = {}
-        for setting in ("rowwise32", "ip", "spada"):
-            cfg = SpadaConfig.fast()
-            cfg.tile_k = cfg.tile_n = t_best
-            cfg.default_tm = t_best
-            try:
-                if setting == "rowwise32":
-                    el, res = run_setting(w, cfg, "rowwise", tm=32)
-                elif setting == "ip":
-                    el, res = run_setting(w, cfg, "ip", tm=t_best)
-                else:
-                    plan = plan_spgemm(w.a, w.b, base)
-                    el, res = run_setting(w, base, "spada", plan=plan)
-                results[setting] = (el, res.n_work_items)
-            except Exception as e:  # keep the table even if one cfg fails
-                results[setting] = (float("nan"), str(e)[:60])
+
+        # fixed panel heights
+        for label, tm in (("tm32", 32), (f"tm{t_best}", t_best)):
+            a_bsr = BsrMatrix.from_csr(a, tm, t_best, dtype=np.float32)
+            wl = build_worklist(a_bsr, b_bsr, order="row")
+            el = time_worklist(wl, a_bsr.tiles, b_bsr.tiles, rt)
+            results[label] = (el, wl.n_items)
+            print(f"{name} {label}: {el*1e3:.2f}ms W={wl.n_items}",
+                  flush=True)
+
+        # spada plan: per-segment engine time
+        plan = plan_spgemm(a, b, cfg)
+        total, W = 0.0, 0
+        by_tm = {}
+        for p in plan.panels:
+            by_tm.setdefault(p.tm, []).append(p)
+        from spada_tpu.sparse.csr import CsrMatrix  # noqa: F401
+
+        for tm, panels in sorted(by_tm.items()):
+            sub, _ = _slice_rows_padded(a, panels, tm)
+            if sub.nnz == 0:
+                continue
+            a_bsr = BsrMatrix.from_csr(sub, tm, t_best, dtype=np.float32)
+            wl = build_worklist(a_bsr, b_bsr, order="row")
+            total += time_worklist(wl, a_bsr.tiles, b_bsr.tiles, rt)
+            W += wl.n_items
+        results["spada"] = (total, W)
+        print(f"{name} spada: {total*1e3:.2f}ms W={W} "
+              f"(tm hist {plan.tm_histogram()})", flush=True)
         rows.append((name, t_best, results))
-        print(name, t_best, {k: (round(v[0] * 1e3, 1), v[1])
-                             for k, v in results.items()}, flush=True)
 
     lines = [
-        "# EVAL — adaptive planner vs fixed dataflows (one v5e chip)",
+        "# EVAL — adaptive planner vs fixed panel heights (one v5e chip)",
         "",
-        f"Workload size n={n}; fast profile (bf16 tiles); warmed wall time",
-        "including result readback.",
+        f"n={n}; engine time (VMEM-cached kernel, bf16), readback-fenced",
+        "device timing; W = MXU tile products issued.",
         "",
-        "| workload | tile | rowwise tm=32 | ip tm=T | spada (planned) |",
-        "|---|---|---|---|---|",
     ]
     for name, t_best, r in rows:
-        def fmt(k):
-            el, wi = r[k]
-            return f"{el*1e3:.1f} ms (W={wi})" if el == el else f"fail: {wi}"
-        lines.append(
-            f"| {name} | {t_best} | {fmt('rowwise32')} | {fmt('ip')} | "
-            f"{fmt('spada')} |"
-        )
-    out = "\n".join(lines) + "\n"
+        lines.append(f"## {name}  (tile={t_best})")
+        lines.append("")
+        lines.append("| setting | engine ms | work items |")
+        lines.append("|---|---|---|")
+        for k, (el, wi) in r.items():
+            lines.append(f"| {k} | {el*1e3:.2f} | {wi} |")
+        lines.append("")
+    out = "\n".join(lines)
     with open(os.path.join(os.path.dirname(__file__), "..", "EVAL.md"),
               "w") as f:
         f.write(out)
