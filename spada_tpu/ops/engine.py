@@ -637,8 +637,10 @@ def _pack_plan(ids, plan) -> np.ndarray:
     return pk.astype(np.int32)
 
 
-# scalar-prefetch operands live in SMEM (1 MiB): cap items per kernel launch
-_MAX_ITEMS_PER_LAUNCH = 250_000
+# scalar-prefetch operands live in SMEM (~1 MiB total): with up to three
+# W-sized int32 arrays (o_ids + packed A/B state) the practical cap is
+# ~80k items per launch
+_MAX_ITEMS_PER_LAUNCH = 70_000
 
 
 def _split_by_items(o_ids, n_c_tiles: int, max_items: int):
