@@ -47,12 +47,6 @@ def _on_tpu() -> bool:
     return jax.default_backend() == "tpu"
 
 
-def default_use_pallas() -> bool:
-    """Legacy knob for the auto-pipelined megakernel — always off; the
-    streaming kernel (run_worklist_streaming) is the TPU fast path now."""
-    return False
-
-
 def select_engine(order: str = "row", use_pallas: Optional[bool] = None) -> str:
     """Auto engine choice: 'cached' | 'streaming' | 'xla' | 'pallas_grid'.
 
@@ -257,101 +251,6 @@ def run_worklist_xla(a_tiles, b_tiles, a_ids, b_ids, o_ids, n_c_tiles: int,
 # the pipeline never drains at run boundaries — the TPU-native realization of
 # the reference's stream-buffer + fiber-cache overlap (simulator.rs:728-736,
 # storage.rs:737-818) with DMA depth standing in for `mem_latency` hiding.
-
-def _make_streaming_kernel(n_items: int, nbuf: int, precision):
-    def kernel(item_ptr_ref, a_ids_ref, b_ids_ref,
-               a_hbm, b_hbm, c_ref, abuf, bbuf, sems):
-        c = pl.program_id(0)
-        lo = item_ptr_ref[c]
-        hi = item_ptr_ref[c + 1]
-
-        def dma_a(w, slot):
-            return pltpu.make_async_copy(
-                a_hbm.at[a_ids_ref[w]], abuf.at[slot], sems.at[slot, 0]
-            )
-
-        def dma_b(w, slot):
-            return pltpu.make_async_copy(
-                b_hbm.at[b_ids_ref[w]], bbuf.at[slot], sems.at[slot, 1]
-            )
-
-        def start(w):
-            slot = jax.lax.rem(w, nbuf)
-            dma_a(w, slot).start()
-            dma_b(w, slot).start()
-
-        @pl.when(c == 0)
-        def _warmup():
-            for w in range(nbuf):
-                @pl.when(w < n_items)
-                def _():
-                    start(w)
-
-        c_ref[...] = jnp.zeros_like(c_ref)
-
-        def body(w, _):
-            slot = jax.lax.rem(w, nbuf)
-            dma_a(w, slot).wait()
-            dma_b(w, slot).wait()
-            c_ref[0] += jax.lax.dot_general(
-                abuf[slot], bbuf[slot],
-                dimension_numbers=(((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32,
-                precision=precision,
-            )
-            # slot w%nbuf is free only now — prefetch item w+nbuf into it
-            @pl.when(w + nbuf < n_items)
-            def _():
-                start(w + nbuf)
-            return 0
-
-        jax.lax.fori_loop(lo, hi, body, 0, unroll=False)
-
-    return kernel
-
-
-@functools.partial(
-    jax.jit, static_argnames=("n_c_tiles", "nbuf", "interpret", "precision")
-)
-def _run_pallas_streaming(item_ptr, a_ids, b_ids, a_tiles, b_tiles,
-                          n_c_tiles: int, nbuf: int = 8,
-                          interpret: bool = False, precision: str = "default"):
-    W = a_ids.shape[0]
-    tm, tk = a_tiles.shape[1], a_tiles.shape[2]
-    tn = b_tiles.shape[2]
-    itemsize = jnp.dtype(a_tiles.dtype).itemsize
-    grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=3,
-        grid=(n_c_tiles,),
-        in_specs=[
-            pl.BlockSpec(memory_space=pltpu.ANY),
-            pl.BlockSpec(memory_space=pltpu.ANY),
-        ],
-        out_specs=pl.BlockSpec(
-            (1, tm, tn), lambda c, item_ptr, a_ids, b_ids: (c, 0, 0)
-        ),
-        scratch_shapes=[
-            pltpu.VMEM((nbuf, tm, tk), a_tiles.dtype),
-            pltpu.VMEM((nbuf, tk, tn), b_tiles.dtype),
-            pltpu.SemaphoreType.DMA((nbuf, 2)),
-        ],
-    )
-    return pl.pallas_call(
-        _make_streaming_kernel(W, nbuf, _resolve_precision(precision)),
-        grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((n_c_tiles, tm, tn), jnp.float32),
-        compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("arbitrary",),
-        ),
-        cost_estimate=pl.CostEstimate(
-            flops=2 * W * tm * tk * tn,
-            bytes_accessed=W * (tm * tk + tk * tn) * itemsize
-            + n_c_tiles * tm * tn * 4,
-            transcendentals=0,
-        ),
-        interpret=interpret,
-    )(item_ptr, a_ids, b_ids, a_tiles, b_tiles)
-
 
 def _make_streaming_kernel_grouped(n_items: int, nbuf: int, ogroup: int,
                                    precision):

@@ -27,6 +27,27 @@ def time_worklist(wl, a_tiles, b_tiles, rt):
 
     if wl.n_items == 0:
         return 0.0
+    from spada_tpu.ops import engine as eng_mod
+
+    if wl.n_items > eng_mod._MAX_ITEMS_PER_LAUNCH:
+        # time each SMEM-capped slab independently and sum (one jit with
+        # many pallas launches overwhelms the remote compile helper)
+        total = 0.0
+        for o_lo, o_hi, w_lo, w_hi in eng_mod._split_by_items(
+            wl.o_tid, wl.n_c_tiles, eng_mod._MAX_ITEMS_PER_LAUNCH
+        ):
+            import dataclasses as _dc
+
+            sub = _dc.replace(
+                wl, a_tid=wl.a_tid[w_lo:w_hi], b_tid=wl.b_tid[w_lo:w_hi],
+                o_tid=np.asarray(wl.o_tid[w_lo:w_hi]) - o_lo,
+                first=wl.first[w_lo:w_hi],
+                c_tile_row=wl.c_tile_row[o_lo:o_hi],
+                c_tile_col=wl.c_tile_col[o_lo:o_hi],
+                n_c_tiles=o_hi - o_lo,
+            )
+            total += time_worklist(sub, a_tiles, b_tiles, rt)
+        return total
     a_slots, b_slots, depth, ogroup = 12, 24, 8, 8
     ap = plan_tile_cache(wl.a_tid, a_slots, depth)
     bp = plan_tile_cache(wl.b_tid, b_slots, depth)
