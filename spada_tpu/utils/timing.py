@@ -68,21 +68,20 @@ def device_time(
 
         return jax.lax.fori_loop(0, K, body, jnp.float32(0.0))
 
-    float(runK(*args))  # compile + warm
-
     def run_once(kk):
         t0 = time.perf_counter()
         float(runK(*args, K=kk))
         return time.perf_counter() - t0
 
-    # ensure the chained work dwarfs round-trip jitter: with K*work of the
-    # same order as the ~30ms round trip, min/median over trials underflows
-    # (a 0.4ms reading was observed for a true 3.2ms kernel)
-    t = run_once(k)
-    while t - roundtrip < 4 * roundtrip and k < 512:
-        k *= 4
-        t = run_once(k)
-    samples = [(t - roundtrip) / k]
-    for _ in range(trials - 1):
-        samples.append((run_once(k) - roundtrip) / k)
+    # two-point slope: per-iter = (t(4K) - t(K)) / 3K.  Subtracting the two
+    # totals cancels the ~30ms round-trip constant exactly, so sub-ms
+    # kernels don't drown in its jitter (naive rt subtraction read 0.0ms
+    # for a true 0.2ms kernel).  Compile both K variants first.
+    run_once(k)
+    run_once(4 * k)
+    samples = []
+    for _ in range(trials):
+        t1 = run_once(k)
+        t4 = run_once(4 * k)
+        samples.append((t4 - t1) / (3 * k))
     return max(float(np.median(samples)), 1e-9)
