@@ -90,7 +90,20 @@ def main():
     from spada_tpu.sparse.bsr import BsrMatrix
     from spada_tpu.utils.timing import measure_roundtrip
 
+    import scipy.sparse as sp
+
+    from spada_tpu.sparse.csr import CsrMatrix
+
     n = 8192 if args.quick else 16384
+    # mixed structure: top half banded (wants fat panels), bottom half
+    # power-law (wants thin panels) — no single fixed height is right,
+    # the regime the adaptive planner exists for
+    mixed_a = CsrMatrix.from_scipy(sp.vstack([
+        banded_csr(n // 2, n, 192, seed=10, dtype=np.float32).to_scipy(),
+        localized_powerlaw_csr(n // 2, n, 32.0, window_frac=0.01,
+                               hub_frac=0.02, seed=11,
+                               dtype=np.float32).to_scipy(),
+    ]).tocsr())
     workloads = {
         "banded": (
             banded_csr(n, n, 192, seed=0, dtype=np.float32),
@@ -101,6 +114,11 @@ def main():
                                    hub_frac=0.02, seed=2, dtype=np.float32),
             localized_powerlaw_csr(n, n, 32.0, window_frac=0.01,
                                    hub_frac=0.02, seed=3, dtype=np.float32),
+        ),
+        "mixed": (
+            mixed_a,
+            localized_powerlaw_csr(n, n, 24.0, window_frac=0.01,
+                                   hub_frac=0.02, seed=12, dtype=np.float32),
         ),
     }
 
