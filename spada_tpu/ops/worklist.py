@@ -22,7 +22,6 @@ frontend.rs:36-41):
 from __future__ import annotations
 
 import dataclasses
-from typing import Tuple
 
 import numpy as np
 

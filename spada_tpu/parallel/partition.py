@@ -18,7 +18,6 @@ from typing import List, Optional, Tuple
 import numpy as np
 
 from spada_tpu.config import SpadaConfig
-from spada_tpu.ops.worklist import build_worklist
 from spada_tpu.sparse.bsr import BsrMatrix
 from spada_tpu.sparse.csr import CsrMatrix
 

@@ -13,7 +13,6 @@ decomposition.
 from __future__ import annotations
 
 import dataclasses
-import functools
 from typing import Optional
 
 import jax

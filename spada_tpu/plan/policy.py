@@ -28,7 +28,7 @@ from __future__ import annotations
 
 import bisect
 import dataclasses
-from typing import Dict, List, Optional
+from typing import Dict, List
 
 import numpy as np
 

@@ -10,8 +10,6 @@ plain data container — traffic accounting lives in
 
 from __future__ import annotations
 
-from typing import Optional
-
 import numpy as np
 
 

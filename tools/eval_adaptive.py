@@ -86,7 +86,7 @@ def main():
     from spada_tpu.io.workloads import (banded_csr, localized_powerlaw_csr)
     from spada_tpu.ops.worklist import build_worklist
     from spada_tpu.plan.planner import (_slice_rows_padded, choose_tile_size,
-                                        plan_spgemm, PanelSpec)
+                                        plan_spgemm)
     from spada_tpu.sparse.bsr import BsrMatrix
     from spada_tpu.utils.timing import measure_roundtrip
 
