@@ -188,7 +188,8 @@ def partition_halo(
 
 
 def spgemm_halo(problem: HaloProblem, mesh: Optional[Mesh] = None,
-                chunk: int = 1024):
+                chunk: int = 1024,
+                precision=jax.lax.Precision.HIGHEST):
     """Execute: all-to-all the B-tile halos, then local tile engines."""
     from spada_tpu.parallel.spgemm import ShardedResult, _local_engine
 
@@ -210,8 +211,7 @@ def spgemm_halo(problem: HaloProblem, mesh: Optional[Mesh] = None,
         recv = jnp.concatenate([recv, zero], axis=0)
         c = _local_engine(
             a_tid[0], b_tid[0], o_tid[0], a_tiles[0], recv,
-            n_c_tiles=p.nCmax, chunk=chunk,
-            precision=jax.lax.Precision.HIGHEST,
+            n_c_tiles=p.nCmax, chunk=chunk, precision=precision,
         )
         return c[None]
 
