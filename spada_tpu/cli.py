@@ -156,6 +156,13 @@ def cmd_traffic(args, config: SpadaConfig, w: GemmWorkload) -> int:
     print("functional traffic model (reference counter semantics):")
     for k, v in res.report.as_dict().items():
         print(f"  {k}: {v}")
+    from spada_tpu.ops.spgemm import _count_useful_flops
+
+    mults = _count_useful_flops(w.a, w.b) // 2
+    print(f"  estimated_cycles: "
+          f"{res.report.estimated_cycles(config, useful_mults=mults)}"
+          f"  (machine: {config.pe_num} PEs x {config.lane_num} lanes, "
+          f"{config.bandwidth_bytes_per_cycle:.0f} B/cyc)")
     if not args.no_result:
         _print_first_rows(res.c, w)
     return 0

@@ -98,6 +98,29 @@ class TrafficReport:
         )
         return words * self.word_byte
 
+    def estimated_cycles(self, config=None, useful_mults: int = 0) -> int:
+        """Analytical cycle estimate on the reference's simulated machine.
+
+        The reference reports measured cycles where each window costs
+        ``max(observed compute cycles, memory_traffic / BW-share)``
+        (simulator.rs:589-631); the functional analog totals both sides:
+        compute = scalar multiplies across pe_num*lane_num lanes, memory =
+        modeled DRAM words over the configured bandwidth, plus one DRAM
+        latency per distinct B-row fill.  This is the exec-cycle metric of
+        ``main.rs:104`` at roofline (round-based) accuracy.
+        """
+        from spada_tpu.config import SpadaConfig
+
+        config = config or SpadaConfig()
+        lanes = max(config.pe_num * config.lane_num, 1)
+        compute_cycles = useful_mults // lanes
+        mem_cycles = int(
+            self.dram_bytes / max(config.bandwidth_bytes_per_cycle, 1e-9)
+        )
+        fills = self.b_mem.read_count // 2  # row fills ~ elements/2 lower bound
+        latency_cycles = config.mem_latency  # pipelined fills: one exposed
+        return max(compute_cycles, mem_cycles) + latency_cycles
+
     def as_dict(self) -> dict:
         return {
             "a_mem_read": self.a_mem.read_count,

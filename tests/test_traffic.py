@@ -212,3 +212,20 @@ def test_engine_cost_analysis_matches_byte_model():
     lo = (ab.n_tiles + bb.n_tiles + wl.n_c_tiles) * 64 * 64 * 4
     hi = 6 * (2 * W + 2 * wl.n_c_tiles) * 64 * 64 * 4
     assert lo <= measured <= hi, (lo, measured, hi)
+
+
+def test_estimated_cycles():
+    """Exec-cycle analog: memory-bound for sparse, grows with traffic."""
+    from spada_tpu.config import SpadaConfig
+    from spada_tpu.ops.spgemm import _count_useful_flops
+
+    a = random_csr(60, 64, 0.1, seed=90)
+    b = random_csr(64, 60, 0.1, seed=91)
+    cfg = SpadaConfig()
+    r = simulate_traffic(a, b, cfg, compute_values=False).report
+    mults = _count_useful_flops(a, b) // 2
+    cyc = r.estimated_cycles(cfg, useful_mults=mults)
+    assert cyc >= r.dram_bytes / cfg.bandwidth_bytes_per_cycle
+    # doubling bandwidth cannot increase the estimate
+    fast = SpadaConfig(bandwidth_per_channel=16.0)
+    assert r.estimated_cycles(fast, useful_mults=mults) <= cyc
