@@ -21,8 +21,9 @@ SURVEY.md §2.3).
 """
 
 from spada_tpu.parallel.halo import partition_halo, spgemm_halo
-from spada_tpu.parallel.partition import partition_spgemm, ShardedProblem
+from spada_tpu.parallel.partition import (choose_parallel_strategy,
+                                          partition_spgemm, ShardedProblem)
 from spada_tpu.parallel.spgemm import spgemm_sharded
 
 __all__ = ["partition_spgemm", "ShardedProblem", "spgemm_sharded",
-           "partition_halo", "spgemm_halo"]
+           "partition_halo", "spgemm_halo", "choose_parallel_strategy"]

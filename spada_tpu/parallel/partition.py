@@ -201,3 +201,44 @@ def partition_spgemm(
         n_c_tiles=np.array([m[2] for m in dp_meta], np.int64),
         work_per_shard=work, nCmax=nCmax, Wmax=Wmax,
     )
+
+
+def choose_parallel_strategy(
+    a: CsrMatrix,
+    b: CsrMatrix,
+    n_dev: int,
+    config: Optional[SpadaConfig] = None,
+    tm: Optional[int] = None,
+):
+    """Pick 'reduce' (K-sharded psum-merge) vs 'halo' (B-tile all-to-all)
+    by modeled communication bytes — the reference's dataflow adaptivity
+    lifted to the distributed axis (SURVEY.md §2.3/§5.8).
+
+    - reduce, (dp = n_dev/2, tp = 2): every dp panel's C tiles ride one
+      psum over tp; ring all-reduce moves ~2*(tp-1)/tp of the C-tile bytes.
+    - halo (dp = n_dev): each remotely-needed B tile moves once.
+
+    Returns (strategy, details).
+    """
+    from spada_tpu.parallel.halo import partition_halo
+
+    config = config or SpadaConfig()
+    tm = tm or config.default_tm
+    tk, tn = config.tile_k, config.tile_n
+
+    halo = partition_halo(a, b, n_dev, config, tm=tm)
+    halo_bytes = halo.halo_tiles_sent * tk * tn * 4
+
+    n_tp = 2 if n_dev % 2 == 0 else 1
+    n_dp = n_dev // n_tp
+    red = partition_spgemm(a, b, n_dp, n_tp, config, tm=tm)
+    c_bytes = int(red.n_c_tiles.sum()) * tm * tn * 4
+    reduce_bytes = int(2 * (n_tp - 1) / max(n_tp, 1) * c_bytes)
+
+    details = {
+        "halo_bytes": halo_bytes,
+        "reduce_bytes": reduce_bytes,
+        "halo_problem": halo,
+        "reduce_problem": red,
+    }
+    return ("halo" if halo_bytes < reduce_bytes else "reduce"), details

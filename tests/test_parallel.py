@@ -114,3 +114,24 @@ def test_halo_counts_traffic():
     # every needed remote tile is sent exactly once
     assert prob.halo_tiles_sent > 0
     assert prob.cap * 4 * 4 >= prob.halo_tiles_sent
+
+
+def test_choose_parallel_strategy():
+    from spada_tpu.parallel import choose_parallel_strategy
+    from spada_tpu.parallel.halo import spgemm_halo
+    from spada_tpu.parallel.spgemm import spgemm_sharded
+
+    if len(jax.devices()) < 4:
+        pytest.skip("needs 4 devices")
+    # dense-ish C, small B: moving B tiles beats moving C partials
+    a = random_csr(256, 128, 0.2, seed=20)
+    b = random_csr(128, 256, 0.2, seed=21)
+    strat, det = choose_parallel_strategy(a, b, 4, tm=32)
+    assert det["halo_bytes"] > 0 and det["reduce_bytes"] > 0
+    # execute whichever was chosen and check the product
+    if strat == "halo":
+        res = spgemm_halo(det["halo_problem"])
+    else:
+        res = spgemm_sharded(det["reduce_problem"])
+    np.testing.assert_allclose(res.todense(), _ref(a, b), rtol=1e-5,
+                               atol=1e-5)
