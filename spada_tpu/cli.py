@@ -136,16 +136,23 @@ def cmd_run(args, config: SpadaConfig, w: GemmWorkload) -> int:
 
 
 def _tile_bytes(res) -> int:
-    """Tile-engine HBM byte model: A+B tiles per work item, C tiles once."""
+    """Tile-engine HBM byte model: A+B tiles per work item, C tiles once.
+
+    Uses the actual contraction tile edge and tile dtype the engine ran with
+    (T may be re-chosen per matrix by choose_tile_size, and bf16 tiles move
+    half the bytes of f32).
+    """
     if hasattr(res, "segments"):  # PlanResult
         total = 0
         for seg in res.segments:
             r = seg.result
-            total += r.n_work_items * (seg.tm * 128 + 128 * r.tn) * 4
+            total += (r.n_work_items * (seg.tm * r.tk + r.tk * r.tn)
+                      * r.tile_itemsize)
             total += np.asarray(r.c_tiles).shape[0] * seg.tm * r.tn * 4
         return total
     tiles = np.asarray(res.c_tiles)
-    return (res.n_work_items * (res.tm * 128 + 128 * res.tn) * 4
+    return (res.n_work_items * (res.tm * res.tk + res.tk * res.tn)
+            * res.tile_itemsize
             + tiles.shape[0] * res.tm * res.tn * 4)
 
 

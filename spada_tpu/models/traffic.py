@@ -11,14 +11,34 @@ reference's storage layer and legacy traffic model:
   element writes 2 (storage.rs:454).
 - **Fiber cache** (``LatencyPriorityCache``, storage.rs:460-1007):
   word-granular occupancy (``capability = cache_size / word_byte``,
-  storage.rs:498), eviction of the resident row whose *next use in traversal
-  order* is furthest (the priority-queue policy, storage.rs:543-563,599-658);
-  clean drop for B rows, write-back to psum DRAM for psum rows
-  (storage.rs:626-648); counters ``miss_count``, ``b_evict_count``,
-  ``psum_evict_count``, read/write word counts.
+  storage.rs:498); **reference-exact eviction**: a lazily-invalidated min-heap
+  of ``[priority, addr]`` where a row's priority is the A-traversal position
+  of its most recent access (bumped on writes and on row-start read hits,
+  storage.rs:585-590, 775-781) and a freshly allocated psum row's priority is
+  its own address (storage.rs:712-717) — psum addresses sit above
+  ``output_base_addr`` (main.rs:65), so young psums outrank all B rows on the
+  shared number line.  The victim is the MINIMUM ``[priority, addr]``
+  (``BinaryHeap<Reverse<_>>``, storage.rs:546-563) — an LRU-style online
+  policy with *no* future knowledge.  (Belady planning exists only in
+  ops/cacheplan.py for the real kernel, where the host legitimately knows the
+  whole schedule ahead of time.)  When the resident B words cannot cover a
+  space request, an arbitrary psum row is evicted instead (storage.rs:603-611;
+  the reference takes HashMap iteration order — this model deterministically
+  takes the lowest psum address).  Clean drop for B rows, write-back to psum
+  DRAM for psum rows (storage.rs:626-648); counters ``miss_count``,
+  ``b_evict_count``, ``psum_evict_count``, read/write word counts.
+  Miss fills count ``miss_count`` + cache ``write_count`` but **not** cache
+  ``read_count`` (request_read_scalars' miss branch, storage.rs:792-818);
+  destructive merge reads count ``read_count`` on hits and both
+  ``read_count`` and ``miss_count`` on DRAM refills
+  (request_consume_scalars, storage.rs:856-913).
 - **Reuse ratios** (storage_traffic_model.rs:131-164): ``b_reuse`` = touched
   B-fiber words / distinct B-fiber words; ``c_reuse`` = touched psum words /
   final C words.
+
+One deliberate divergence: a single row larger than the whole cache bypasses
+residency here (streamed), where the reference panics
+(``freeup_space``→``write``, storage.rs:565-658).
 
 The model executes a row-wise Gustavson schedule over an
 :class:`~spada_tpu.plan.planner.ExecutionPlan`'s row panels (or a fixed panel
@@ -28,8 +48,8 @@ and pairwise-merged at row end — the PE-merge/adder-tree traffic
 (scheduler.rs:381-480, 820-920) in functional form.
 
 It is *deterministic and exact* for the schedule it models; tests assert its
-counters against closed forms on synthetic matrices and its computed product
-against scipy.
+counters against closed forms on synthetic matrices, its eviction decisions
+against hand-walked schedules, and its computed product against scipy.
 """
 
 from __future__ import annotations
@@ -64,6 +84,7 @@ class CacheStats:
     b_evict_count: int = 0
     psum_evict_count: int = 0
     max_occupancy: int = 0
+    fill_count: int = 0   # number of DRAM->cache fill *events* (latency model)
 
 
 @dataclasses.dataclass
@@ -101,25 +122,44 @@ class TrafficReport:
     def estimated_cycles(self, config=None, useful_mults: int = 0) -> int:
         """Analytical cycle estimate on the reference's simulated machine.
 
-        The reference reports measured cycles where each window costs
+        The reference measures cycles where each window costs
         ``max(observed compute cycles, memory_traffic / BW-share)``
-        (simulator.rs:589-631); the functional analog totals both sides:
-        compute = scalar multiplies across pe_num*lane_num lanes, memory =
-        modeled DRAM words over the configured bandwidth, plus one DRAM
-        latency per distinct B-row fill.  This is the exec-cycle metric of
-        ``main.rs:104`` at roofline (round-based) accuracy.
+        (simulator.rs:589-631) and every fill gates its window behind
+        ``mem_latency + cache_latency`` via ``pending_request``
+        (storage.rs:737-774).  The functional analog takes the max of the
+        three machine-wide bounds:
+
+        - **compute**: scalar multiplies across ``pe_num * lane_num`` lanes,
+          plus the merge cost — every produced psum element passes through a
+          sorting-network/merge-tree (one element per cycle per unit,
+          simulator.rs:117-235, adder_tree.rs:145-171), modeled at
+          ``pe_num + at_num`` elements/cycle machine-wide.
+        - **memory**: modeled DRAM words over the configured bandwidth.
+        - **latency**: each of the ``fill_count`` miss fills exposes
+          ``mem_latency + cache_latency`` stall cycles to its PE; with
+          ``pe_num`` PEs filling independently the machine-wide exposure is
+          ``fill_count * per_fill / pe_num``.
+
+        This is the exec-cycle metric of ``main.rs:104`` at roofline
+        (round-based) accuracy; tests validate it against hand-walked
+        schedules.
         """
         from spada_tpu.config import SpadaConfig
 
         config = config or SpadaConfig()
         lanes = max(config.pe_num * config.lane_num, 1)
-        compute_cycles = useful_mults // lanes
+        mult_cycles = useful_mults // lanes
+        merge_units = max(config.pe_num + config.at_num, 1)
+        merge_cycles = (self.c_touched_words // 2) // merge_units
+        compute_cycles = mult_cycles + merge_cycles
         mem_cycles = int(
             self.dram_bytes / max(config.bandwidth_bytes_per_cycle, 1e-9)
         )
-        fills = self.b_mem.read_count // 2  # row fills ~ elements/2 lower bound
-        latency_cycles = config.mem_latency  # pipelined fills: one exposed
-        return max(compute_cycles, mem_cycles) + latency_cycles
+        per_fill = config.mem_latency + config.cache_latency
+        latency_cycles = (
+            self.cache.fill_count * per_fill // max(config.pe_num, 1)
+        )
+        return max(compute_cycles, mem_cycles, latency_cycles)
 
     def as_dict(self) -> dict:
         return {
@@ -130,6 +170,7 @@ class TrafficReport:
             "cache_read": self.cache.read_count,
             "cache_write": self.cache.write_count,
             "miss_count": self.cache.miss_count,
+            "fill_count": self.cache.fill_count,
             "b_evict_count": self.cache.b_evict_count,
             "psum_evict_count": self.cache.psum_evict_count,
             "b_reuse": self.b_reuse,
@@ -139,69 +180,95 @@ class TrafficReport:
 
 
 class _FiberCache:
-    """Priority cache: evicts the row whose next use is furthest away.
+    """Reference-exact priority cache (``LatencyPriorityCache``).
 
-    Keys are ``('b', row_id)`` or ``('p', psum_id)``; priorities are positions
-    in the global access sequence (larger = later = evicted first), mirroring
-    the ``[a_loc_row, addr]`` max-priority eviction of storage.rs:543-563.
+    Keys are ``('b', row_id)`` or ``('p', psum_uid)``; the address of a psum
+    key is ``output_base + uid`` (psum address space starts above B's row
+    ids, main.rs:65).  Priorities are A-traversal positions of the most
+    recent access (``valid_pq_row_dict`` max-bump, storage.rs:585-590), except
+    fresh psum rows whose priority is their own address (storage.rs:712-717).
+    Eviction pops the MINIMUM ``[priority, addr]`` from a lazily-invalidated
+    heap (storage.rs:546-563, 617-625) — least-recently-used at A-row
+    granularity, no future knowledge.
     """
 
-    def __init__(self, capacity_words: int, stats: CacheStats):
+    def __init__(self, capacity_words: int, stats: CacheStats,
+                 output_base: int):
         self.capacity = capacity_words
         self.stats = stats
+        self.output_base = output_base
         self.occ = 0
+        self.b_occ = 0
         self.rows: Dict[Tuple[str, int], int] = {}     # key -> words
-        self.prio: Dict[Tuple[str, int], int] = {}     # key -> next use
-        self.heap: List[Tuple[int, Tuple[str, int]]] = []  # (-next_use, key)
+        self.prio: Dict[Tuple[str, int], int] = {}     # valid_pq_row_dict
+        self.heap: List[Tuple[int, int, Tuple[str, int]]] = []
+
+    def addr_of(self, key) -> int:
+        return key[1] if key[0] == "b" else self.output_base + key[1]
 
     def contains(self, key) -> bool:
         return key in self.rows
 
-    def touch(self, key, next_use: int) -> None:
-        self.prio[key] = next_use
-        heapq.heappush(self.heap, (-next_use, key))
+    def _bump(self, key, prio_val: int) -> None:
+        """valid_pq_row_dict max-bump + heap push (storage.rs:585-590)."""
+        p = max(self.prio.get(key, prio_val), prio_val)
+        self.prio[key] = p
+        heapq.heappush(self.heap, (p, self.addr_of(key), key))
 
-    def insert(self, key, words: int, next_use: int, on_evict) -> None:
-        """Insert a row, evicting furthest-next-use rows as needed.
+    def touch(self, key, prio_val: int) -> None:
+        """Row-start read hit: bump recency (storage.rs:775-781)."""
+        self._bump(key, prio_val)
 
-        ``on_evict(key, words)`` handles write-back side effects.  A row
-        larger than the whole cache bypasses residency (streamed), matching
-        the reference's failure mode of thrashing rather than crashing.
-        """
-        while self.occ + words > self.capacity and self.heap:
-            neg_use, victim = heapq.heappop(self.heap)
-            # lazy invalidation (valid_pq_row_dict, storage.rs:543-563)
-            if victim not in self.rows or self.prio.get(victim) != -neg_use:
-                continue
-            if victim == key:
-                continue
+    def _freeup_space(self, words: int, pinned, on_evict) -> None:
+        """Evict until ``words`` fit (freeup_space, storage.rs:599-658)."""
+        while self.occ + words > self.capacity:
+            victim = None
+            if self.b_occ < words:
+                # all B rows together can't cover it: take a psum row
+                # (storage.rs:603-611; deterministic lowest-address here)
+                psums = [k for k in self.rows
+                         if k[0] == "p" and k != pinned]
+                if psums:
+                    victim = min(psums, key=self.addr_of)
+            if victim is None:
+                while self.heap:
+                    p, _, key = heapq.heappop(self.heap)
+                    # lazy invalidation (storage.rs:617-625)
+                    if key not in self.rows or self.prio.get(key) != p:
+                        continue
+                    if key == pinned:
+                        continue
+                    victim = key
+                    break
+            if victim is None:
+                return  # nothing evictable (reference panics; we stream)
             vwords = self.rows.pop(victim)
-            self.prio.pop(victim, None)
             self.occ -= vwords
+            if victim[0] == "b":
+                self.b_occ -= vwords
             on_evict(victim, vwords)
+
+    def insert(self, key, words: int, prio_val: int, on_evict) -> None:
+        """Insert a row (``write``/``append_psum_to``, storage.rs:565-733).
+
+        A row larger than the whole cache bypasses residency (streamed) —
+        a deliberate divergence from the reference's panic.
+        """
+        self._freeup_space(words, key, on_evict)
         if self.occ + words <= self.capacity:
             self.rows[key] = words
             self.occ += words
-            self.touch(key, next_use)
+            if key[0] == "b":
+                self.b_occ += words
+            self._bump(key, prio_val)
             self.stats.max_occupancy = max(self.stats.max_occupancy, self.occ)
 
     def remove(self, key) -> int:
         words = self.rows.pop(key, 0)
-        self.prio.pop(key, None)
+        if words and key[0] == "b":
+            self.b_occ -= words
         self.occ -= words
         return words
-
-
-def _next_use_positions(access: np.ndarray) -> np.ndarray:
-    """``next_use[t]`` = next position after ``t`` accessing the same row."""
-    T = len(access)
-    nxt = np.full(T, INF, dtype=np.int64)
-    if T == 0:
-        return nxt
-    order = np.lexsort((np.arange(T), access))
-    same = access[order][1:] == access[order][:-1]
-    nxt[order[:-1][same]] = order[1:][same]
-    return nxt
 
 
 @dataclasses.dataclass
@@ -243,17 +310,11 @@ def simulate_traffic(
 
     a_mem, b_mem, psum_mem = MemStats(), MemStats(), MemStats()
     cstats = CacheStats()
-    cache = _FiberCache(config.cache_words, cstats)
+    # psum address space starts above B's row-pointer array (main.rs:65)
+    output_base = b.shape[0] + 1
+    cache = _FiberCache(config.cache_words, cstats, output_base)
 
     b_lens = b.row_lens()
-
-    # global B access sequence in traversal order, for Belady-style priority
-    seq_parts = [a.indices[a.indptr[r] : a.indptr[r + 1]] for r in row_order]
-    access = (
-        np.concatenate(seq_parts).astype(np.int64)
-        if seq_parts else np.zeros(0, np.int64)
-    )
-    next_use = _next_use_positions(access)
 
     b_touched_words = 0
     c_touched_words = 0
@@ -272,9 +333,8 @@ def simulate_traffic(
     out_cols: List[np.ndarray] = []
     out_vals: List[np.ndarray] = []
 
-    t = 0  # position in the global access sequence
     psum_uid = 0
-    for r in row_order:
+    for i, r in enumerate(row_order):
         s, e = a.indptr[r], a.indptr[r + 1]
         n_scalars = int(e - s)
         if n_scalars == 0:
@@ -292,22 +352,22 @@ def simulate_traffic(
             for j, k in enumerate(wcols):
                 k = int(k)
                 words = int(2 * b_lens[k])
-                nu = next_use[t]
-                t += 1
                 if words:
                     b_touched_words += words
                     key = ("b", k)
                     if cache.contains(key):
+                        # hit: count the readout, bump recency
+                        # (storage.rs:775-791)
                         cstats.read_count += words
-                        cache.touch(key, nu if nu != INF else INF - 1)
+                        cache.touch(key, i)
                     else:
-                        # miss: DRAM fill then cache read (storage.rs:792-818)
+                        # miss: DRAM fill, cache write; the readout itself is
+                        # NOT a cache read (storage.rs:792-818)
                         b_mem.read_count += words
                         cstats.miss_count += words
+                        cstats.fill_count += 1
                         cstats.write_count += words
-                        cstats.read_count += words
-                        cache.insert(key, words, nu if nu != INF else INF - 1,
-                                     evict_cb)
+                        cache.insert(key, words, i, evict_cb)
                     if k not in touched_b_rows:
                         touched_b_rows.add(k)
                 bs, be = b.indptr[k], b.indptr[k + 1]
@@ -329,23 +389,31 @@ def simulate_traffic(
             pw = int(2 * len(ucols))
             c_touched_words += pw
             cstats.write_count += pw  # psum row into cache (append_psum_to)
-            cache.insert(("p", psum_uid), pw, t, evict_cb)
+            # fresh psum priority = its own address (storage.rs:712-717)
+            key = ("p", psum_uid)
+            cache.insert(key, pw, cache.addr_of(key), evict_cb)
             partials.append((psum_uid, ucols, uvals))
             psum_uid += 1
 
         # pairwise-merge partials (merge_task semantics, scheduler.rs:381-480)
         while len(partials) > 1:
             merged: List[Tuple[int, np.ndarray, np.ndarray]] = []
-            for i in range(0, len(partials) - 1, 2):
-                u1, c1, v1 = partials[i]
-                u2, c2, v2 = partials[i + 1]
+            for idx in range(0, len(partials) - 1, 2):
+                u1, c1, v1 = partials[idx]
+                u2, c2, v2 = partials[idx + 1]
                 for uid, cc in ((u1, c1), (u2, c2)):
                     w = int(2 * len(cc))
                     if cache.contains(("p", uid)):
-                        cstats.read_count += w  # consume from cache
+                        # destructive read from cache
+                        # (request_consume_scalars hit, storage.rs:860-890)
+                        cstats.read_count += w
                         cache.remove(("p", uid))
                     else:
-                        psum_mem.read_count += w  # refill from DRAM
+                        # refill from DRAM: counts a cache read AND a miss
+                        # (request_consume_scalars miss, storage.rs:892-913)
+                        psum_mem.read_count += w
+                        cstats.read_count += w
+                        cstats.miss_count += w
                     c_touched_words += w
                 if compute_values:
                     cat_c = np.concatenate([c1, c2])
@@ -358,7 +426,8 @@ def simulate_traffic(
                     mv = np.zeros(0)
                 mw = int(2 * len(mc))
                 cstats.write_count += mw
-                cache.insert(("p", psum_uid), mw, t, evict_cb)
+                key = ("p", psum_uid)
+                cache.insert(key, mw, cache.addr_of(key), evict_cb)
                 merged.append((psum_uid, mc, mv))
                 psum_uid += 1
             if len(partials) % 2:
@@ -401,8 +470,8 @@ def _simulate_native(a: CsrMatrix, b: CsrMatrix, config: SpadaConfig,
     """Full-K structure-only fast path via the C++ cache walk.
 
     The merged-psum sizes (= C's row nnz) come from a scipy boolean product;
-    the Belady-priority cache walk runs natively.  Counter semantics are
-    identical to the Python model (asserted in tests).
+    the reference-exact priority-cache walk runs natively.  Counter semantics
+    are identical to the Python model (asserted in tests).
     """
     from spada_tpu import native
 
@@ -426,6 +495,7 @@ def _simulate_native(a: CsrMatrix, b: CsrMatrix, config: SpadaConfig,
             read_count=int(out[10]), write_count=int(out[11]),
             miss_count=int(out[4]), b_evict_count=int(out[5]),
             psum_evict_count=int(out[6]), max_occupancy=int(out[13]),
+            fill_count=int(out[14]),
         ),
         b_touched_words=int(out[7]), b_distinct_words=int(out[8]),
         c_touched_words=int(out[9]), c_final_words=int(out[12]),

@@ -98,7 +98,7 @@ def mtx_parse_body(body: bytes, nnz: int, pattern: bool):
 
 def traffic_simulate(a_indptr, a_indices, b_row_lens, row_order,
                      capacity_words: int, row_psum_nnz):
-    """Native fiber-cache walk; returns the 14-counter array or None."""
+    """Native fiber-cache walk; returns the 15-counter array or None."""
     lib = load()
     if lib is None:
         return None
@@ -107,7 +107,7 @@ def traffic_simulate(a_indptr, a_indices, b_row_lens, row_order,
     b_row_lens = np.ascontiguousarray(b_row_lens, dtype=np.int64)
     row_order = np.ascontiguousarray(row_order, dtype=np.int64)
     row_psum_nnz = np.ascontiguousarray(row_psum_nnz, dtype=np.int64)
-    out = np.zeros(14, dtype=np.int64)
+    out = np.zeros(15, dtype=np.int64)
     rc = lib.traffic_simulate(
         _ptr(a_indptr, ctypes.c_int64), _ptr(a_indices, ctypes.c_int32),
         len(a_indptr) - 1, _ptr(b_row_lens, ctypes.c_int64), len(b_row_lens),

@@ -7,10 +7,12 @@
 //     shells into scipy via pyo3, py2rust.rs:62-97; here a single-pass
 //     strtoll/strtod tokenizer, much faster than numpy text splitting).
 //  2. traffic_simulate — the functional traffic model's fiber-cache walk
-//     (models/traffic.py semantics; reference storage.rs:460-1007): a
-//     Belady-style priority cache with a lazily-invalidated max-heap and
-//     reference-exact word counters, for the default full-K row-wise
-//     schedule (one psum per row; the windowed merge path stays in Python).
+//     (models/traffic.py semantics; reference storage.rs:460-1007): the
+//     reference-exact priority cache — min-heap of [priority, addr] with
+//     lazy invalidation, priority = A-traversal position of the most recent
+//     access (psum rows: their own address) — and reference-exact word
+//     counters, for the default full-K row-wise schedule (one psum per row;
+//     the windowed merge path stays in Python).
 //
 // Exposed as a C ABI for ctypes (no pybind11 in this environment).
 
@@ -77,28 +79,29 @@ int64_t mtx_parse_body(const char* text, int64_t len, int64_t nnz,
 // ---------------------------------------------------------------------------
 // Counter semantics (see models/traffic.py for the file:line citations):
 //   row of L elements = 2L words; scalar read = 2 words; B rows clean-drop
-//   on eviction, psum rows write back to DRAM; eviction victim = resident
-//   row with the furthest next use in the traversal order.
+//   on eviction, psum rows write back to DRAM.  Eviction is the reference's
+//   policy (LatencyPriorityCache, storage.rs:546-658): pop the MINIMUM
+//   [priority, addr] from a lazily-invalidated heap, where priority is the
+//   A-traversal position of the row's most recent access (psum rows: their
+//   own address, which sits above output_base = b_rows + 1).  Miss fills
+//   count miss + cache_write but NOT cache_read (storage.rs:792-818).
 //
 // Inputs: A's CSR structure, B row lengths, traversal order, per-traversed-
 // row merged-psum nnz (row_psum_nnz[i] for row_order[i], computed in numpy).
-// Output counters (out[14]):
+// Output counters (out[15]):
 //   0 a_mem_read    1 b_mem_read     2 psum_mem_read  3 psum_mem_write
 //   4 miss          5 b_evict        6 psum_evict     7 b_touched
 //   8 b_distinct    9 c_touched     10 cache_read    11 cache_write
-//  12 c_final      13 max_occupancy
+//  12 c_final      13 max_occupancy 14 fill_count
 
 struct HeapEnt {
-    int64_t next_use;
-    int64_t key;  // >=0: B row id; <0: psum (-uid-1)
-    // Tie order matches the Python heapq on (-next_use, key) tuples: equal
-    // next_use pops B rows (ascending id) before psums (ascending uid).
-    int64_t rank() const {
-        return key >= 0 ? key : (INT64_MAX / 4) + (-key - 1);
-    }
+    int64_t prio;
+    int64_t addr;
+    // std::priority_queue is a max-heap; invert to pop the MINIMUM
+    // [prio, addr] like the reference's BinaryHeap<Reverse<[usize;2]>>.
     bool operator<(const HeapEnt& o) const {
-        if (next_use != o.next_use) return next_use < o.next_use;
-        return rank() > o.rank();
+        if (prio != o.prio) return prio > o.prio;
+        return addr > o.addr;
     }
 };
 
@@ -107,27 +110,7 @@ int traffic_simulate(const int64_t* a_indptr, const int32_t* a_indices,
                      int64_t b_rows, const int64_t* row_order,
                      int64_t capacity_words, const int64_t* row_psum_nnz,
                      int64_t* out) {
-    // global B access sequence + Belady next-use chain
-    std::vector<int64_t> access;
-    access.reserve((size_t)a_indptr[a_rows]);
-    for (int64_t i = 0; i < a_rows; ++i) {
-        int64_t r = row_order[i];
-        for (int64_t j = a_indptr[r]; j < a_indptr[r + 1]; ++j)
-            access.push_back((int64_t)a_indices[j]);
-    }
-    const int64_t T = (int64_t)access.size();
-    const int64_t INF = INT64_MAX / 2;
-    std::vector<int64_t> next_use(T, INF - 1);
-    {
-        std::vector<int64_t> last(b_rows, -1);
-        for (int64_t t = T - 1; t >= 0; --t) {
-            int64_t r = access[t];
-            if (last[r] >= 0) next_use[t] = last[r];
-            last[r] = t;
-        }
-    }
-
-    for (int i = 0; i < 14; ++i) out[i] = 0;
+    for (int i = 0; i < 15; ++i) out[i] = 0;
     int64_t& a_read = out[0];
     int64_t& b_read = out[1];
     int64_t& psum_write = out[3];
@@ -141,27 +124,55 @@ int traffic_simulate(const int64_t* a_indptr, const int32_t* a_indices,
     int64_t& cache_write = out[11];
     int64_t& c_final = out[12];
     int64_t& max_occ = out[13];
+    int64_t& fills = out[14];
 
-    std::unordered_map<int64_t, int64_t> resident;  // key -> words
-    std::unordered_map<int64_t, int64_t> prio;      // key -> next_use
+    const int64_t output_base = b_rows + 1;  // psum addr space (main.rs:65)
+    std::unordered_map<int64_t, int64_t> resident;  // addr -> words
+    std::unordered_map<int64_t, int64_t> prio;      // valid_pq_row_dict
     std::priority_queue<HeapEnt> heap;
-    int64_t occ = 0;
+    int64_t occ = 0, b_occ = 0;
     std::vector<char> b_seen((size_t)b_rows, 0);
 
-    auto insert = [&](int64_t key, int64_t words, int64_t nu) {
-        while (occ + words > capacity_words && !heap.empty()) {
-            HeapEnt e = heap.top();
-            heap.pop();
-            auto it = resident.find(e.key);
-            if (it == resident.end()) continue;          // stale
-            auto pit = prio.find(e.key);
-            if (pit == prio.end() || pit->second != e.next_use) continue;
-            if (e.key == key) continue;                  // don't self-evict
-            int64_t w = it->second;
+    auto bump = [&](int64_t addr, int64_t p) {
+        auto it = prio.find(addr);
+        int64_t np_ = (it == prio.end()) ? p : std::max(it->second, p);
+        prio[addr] = np_;
+        heap.push({np_, addr});
+    };
+
+    auto insert = [&](int64_t addr, int64_t words, int64_t p) {
+        // freeup_space (storage.rs:599-658)
+        while (occ + words > capacity_words) {
+            int64_t victim = -1;
+            if (b_occ < words) {
+                // resident B rows can't cover it: take the lowest-addr psum
+                // (storage.rs:603-611; reference takes HashMap order)
+                int64_t best = INT64_MAX;
+                for (const auto& kv : resident)
+                    if (kv.first >= output_base && kv.first != addr &&
+                        kv.first < best)
+                        best = kv.first;
+                if (best != INT64_MAX) victim = best;
+            }
+            if (victim < 0) {
+                while (!heap.empty()) {
+                    HeapEnt e = heap.top();
+                    heap.pop();
+                    auto it = resident.find(e.addr);
+                    if (it == resident.end()) continue;          // stale
+                    auto pit = prio.find(e.addr);
+                    if (pit == prio.end() || pit->second != e.prio) continue;
+                    if (e.addr == addr) continue;   // pinned (self)
+                    victim = e.addr;
+                    break;
+                }
+            }
+            if (victim < 0) return;  // nothing evictable: stream (no panic)
+            int64_t w = resident[victim];
             occ -= w;
-            resident.erase(it);
-            prio.erase(pit);
-            if (e.key >= 0) {
+            resident.erase(victim);
+            if (victim < output_base) {
+                b_occ -= w;
                 b_evict += w;        // clean drop
             } else {
                 p_evict += w;
@@ -169,15 +180,14 @@ int traffic_simulate(const int64_t* a_indptr, const int32_t* a_indices,
             }
         }
         if (occ + words <= capacity_words) {
-            resident[key] = words;
+            resident[addr] = words;
             occ += words;
-            prio[key] = nu;
-            heap.push({nu, key});
+            if (addr < output_base) b_occ += words;
+            bump(addr, p);
             if (occ > max_occ) max_occ = occ;
         }
     };
 
-    int64_t t = 0;
     int64_t psum_uid = 0;
     for (int64_t i = 0; i < a_rows; ++i) {
         int64_t r = row_order[i];
@@ -185,9 +195,7 @@ int traffic_simulate(const int64_t* a_indptr, const int32_t* a_indices,
         if (e == s) continue;
         a_read += 2 * (e - s);
         for (int64_t j = s; j < e; ++j) {
-            int64_t k = access[t];
-            int64_t nu = next_use[t];
-            ++t;
+            int64_t k = (int64_t)a_indices[j];
             int64_t words = 2 * b_row_lens[k];
             if (!words) continue;
             b_touched += words;
@@ -196,29 +204,27 @@ int traffic_simulate(const int64_t* a_indptr, const int32_t* a_indices,
                 b_distinct += words;
             }
             if (resident.count(k)) {
-                cache_read += words;
-                prio[k] = nu;
-                heap.push({nu, k});
+                cache_read += words;   // hit readout (storage.rs:775-791)
+                bump(k, i);
             } else {
-                b_read += words;
+                b_read += words;       // DRAM fill; readout NOT a cache read
                 miss += words;
+                ++fills;
                 cache_write += words;
-                cache_read += words;
-                insert(k, words, nu);
+                insert(k, words, i);
             }
         }
         int64_t pw = 2 * row_psum_nnz[i];
         if (pw) {
             c_touched += pw;
             cache_write += pw;
-            int64_t key = -(psum_uid++) - 1;
-            insert(key, pw, t);
+            int64_t addr = output_base + psum_uid++;
+            insert(addr, pw, addr);  // fresh psum prio = its own address
             // finished row: swap out to DRAM immediately
-            auto it = resident.find(key);
+            auto it = resident.find(addr);
             if (it != resident.end()) {
                 occ -= it->second;
                 resident.erase(it);
-                prio.erase(key);
             }
             psum_write += pw;
             c_final += pw;

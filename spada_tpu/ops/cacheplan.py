@@ -4,10 +4,14 @@ This is the rebuild's **fiber cache** (``LatencyPriorityCache``,
 storage.rs:460-1007) — realized the TPU-native way: instead of a hardware
 cache making eviction decisions cycle-by-cycle, the host walks the (static)
 worklist once and precomputes, per work item, *which VMEM slot* holds its A
-and B tile and *whether that slot must be DMA-loaded* — Belady eviction
-(furthest next use), exactly the reference's priority policy
-(storage.rs:543-563), but resolved at plan time so the device program stays
-branch-light and fully static.
+and B tile and *whether that slot must be DMA-loaded*.  The eviction policy
+here is **Belady** (furthest next use) — strictly better than the
+reference's online LRU-style priority heap (min ``[last_access, addr]``,
+storage.rs:543-563), which has no future knowledge; the plan-time rebuild
+legitimately knows the whole schedule, so it uses the optimal policy.  (The
+functional traffic model in models/traffic.py replicates the reference's
+*actual* online policy for counter parity.)  Decisions resolve at plan time
+so the device program stays branch-light and fully static.
 
 Pipeline-safety constraint: the kernel issues the DMA for item ``w``'s loads
 ``depth`` items ahead; a slot may only be re-assigned if its previous tile's

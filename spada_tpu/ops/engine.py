@@ -374,6 +374,22 @@ def run_worklist_streaming(a_tiles, b_tiles, a_ids, b_ids, o_ids,
         for o_lo, o_hi, w_lo, w_hi in _split_by_items(
             o_ids, n_c_tiles, _MAX_ITEMS_PER_LAUNCH
         ):
+            if w_hi - w_lo > _MAX_ITEMS_PER_LAUNCH:
+                # a single C tile's run exceeds the SMEM cap: compute it in
+                # chunked launches of partial tiles summed host-graph-side
+                # (the reference's psum merge_task, scheduler.rs:381-480)
+                acc = None
+                for c_lo in range(w_lo, w_hi, _MAX_ITEMS_PER_LAUNCH):
+                    c_hi = min(c_lo + _MAX_ITEMS_PER_LAUNCH, w_hi)
+                    part = run_worklist_streaming(
+                        a_tiles, b_tiles, a_ids[c_lo:c_hi], b_ids[c_lo:c_hi],
+                        np.zeros(c_hi - c_lo, np.int32), 1,
+                        nbuf=nbuf, ogroup=ogroup, interpret=interpret,
+                        precision=precision,
+                    )
+                    acc = part if acc is None else acc + part
+                outs.append(acc)
+                continue
             outs.append(run_worklist_streaming(
                 a_tiles, b_tiles, a_ids[w_lo:w_hi], b_ids[w_lo:w_hi],
                 np.asarray(o_ids[w_lo:w_hi]) - o_lo, o_hi - o_lo,
@@ -532,6 +548,9 @@ def _run_pallas_cached(item_ptr, o_ids, a_packed, b_packed, a_tiles, b_tiles,
 def _pack_plan(ids, plan) -> np.ndarray:
     ids = np.asarray(ids, dtype=np.int64)
     assert ids.max(initial=0) < (1 << 22), "tile id overflows packed int32"
+    # the kernel unpacks the slot as (pk >> 1) & 255: more than 256 slots
+    # would silently alias and corrupt results
+    assert plan.slot.max(initial=0) < 256, "slot id overflows packed int32"
     pk = (ids << 9) | (plan.slot.astype(np.int64) << 1) | plan.load
     return pk.astype(np.int32)
 
@@ -577,10 +596,28 @@ def run_worklist_cached(a_tiles, b_tiles, a_ids, b_ids, o_ids,
         # split into o-slab launches (SMEM prefetch cap); plans are
         # per-slab, so each launch re-warms its cache (cold loads only at
         # slab boundaries)
-        outs, a_loads, b_loads = [], 0, 0
+        outs, a_plans, b_plans = [], [], []
         for o_lo, o_hi, w_lo, w_hi in _split_by_items(
             o_ids, n_c_tiles, _MAX_ITEMS_PER_LAUNCH
         ):
+            if w_hi - w_lo > _MAX_ITEMS_PER_LAUNCH:
+                # a single C tile's run exceeds the SMEM cap: chunked
+                # partial-tile launches summed host-graph-side
+                acc = None
+                for c_lo in range(w_lo, w_hi, _MAX_ITEMS_PER_LAUNCH):
+                    c_hi = min(c_lo + _MAX_ITEMS_PER_LAUNCH, w_hi)
+                    c, ap, bp = run_worklist_cached(
+                        a_tiles, b_tiles, a_ids[c_lo:c_hi], b_ids[c_lo:c_hi],
+                        np.zeros(c_hi - c_lo, np.int32), 1,
+                        a_slots=a_slots, b_slots=b_slots, depth=depth,
+                        ogroup=ogroup, interpret=interpret,
+                        precision=precision,
+                    )
+                    acc = c if acc is None else acc + c
+                    a_plans.append(ap)
+                    b_plans.append(bp)
+                outs.append(acc)
+                continue
             c, ap, bp = run_worklist_cached(
                 a_tiles, b_tiles, a_ids[w_lo:w_hi], b_ids[w_lo:w_hi],
                 np.asarray(o_ids[w_lo:w_hi]) - o_lo, o_hi - o_lo,
@@ -588,15 +625,24 @@ def run_worklist_cached(a_tiles, b_tiles, a_ids, b_ids, o_ids,
                 ogroup=ogroup, interpret=interpret, precision=precision,
             )
             outs.append(c)
-            a_loads += ap.n_loads
-            b_loads += bp.n_loads
+            a_plans.append(ap)
+            b_plans.append(bp)
         from spada_tpu.ops.cacheplan import CachePlan
 
-        agg_a = CachePlan(np.zeros(0, np.int32), np.zeros(0, np.int32),
-                          a_slots, a_loads)
-        agg_b = CachePlan(np.zeros(0, np.int32), np.zeros(0, np.int32),
-                          b_slots, b_loads)
+        # per-item slot/load arrays concatenate across slabs (items keep
+        # their order), so the aggregate is a faithful whole-run plan view
+        agg_a = CachePlan(
+            np.concatenate([p.slot for p in a_plans]),
+            np.concatenate([p.load for p in a_plans]),
+            a_slots, sum(p.n_loads for p in a_plans))
+        agg_b = CachePlan(
+            np.concatenate([p.slot for p in b_plans]),
+            np.concatenate([p.load for p in b_plans]),
+            b_slots, sum(p.n_loads for p in b_plans))
         return jnp.concatenate(outs, axis=0), agg_a, agg_b
+    # the packed int32 encoding carries 8 slot bits (see _pack_plan)
+    a_slots = min(a_slots, 256)
+    b_slots = min(b_slots, 256)
     # fit the caches + output block in VMEM (16MB/core): shrink slot counts
     # proportionally if the configured sizes would overflow
     tm, tk = a_tiles.shape[1], a_tiles.shape[2]

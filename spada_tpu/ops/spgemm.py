@@ -41,6 +41,8 @@ class SpGemmResult:
     c_tiles: np.ndarray          # [nC, tm, tn] f32 (device or host array)
     c_tile_row: np.ndarray
     c_tile_col: np.ndarray
+    tk: int = 128                # contraction tile edge used by the engine
+    tile_itemsize: int = 4       # bytes/element of the A/B tiles as moved
     n_work_items: int = 0
     mxu_flops: int = 0           # FLOPs actually issued to the MXU
     useful_flops: int = 0        # 2 * scalar multiply count (the algorithmic work)
@@ -122,11 +124,13 @@ def spgemm(
     b_bsr = BsrMatrix.from_csr(b, config.tile_k, config.tile_n, dtype=dtype)
     wl = build_worklist(a_bsr, b_bsr, order=order)
 
+    isz = int(np.dtype(dtype).itemsize)
     if wl.n_items == 0:
         return SpGemmResult(
             shape=(a.shape[0], b.shape[1]), tm=tm, tn=config.tile_n,
             c_tiles=np.zeros((0, tm, config.tile_n), np.float32),
             c_tile_row=wl.c_tile_row, c_tile_col=wl.c_tile_col,
+            tk=config.tile_k, tile_itemsize=isz,
             useful_flops=0, mxu_flops=0,
         )
 
@@ -145,6 +149,7 @@ def spgemm(
     return SpGemmResult(
         shape=(a.shape[0], b.shape[1]), tm=tm, tn=config.tile_n,
         c_tiles=c_tiles, c_tile_row=wl.c_tile_row, c_tile_col=wl.c_tile_col,
+        tk=config.tile_k, tile_itemsize=isz,
         n_work_items=wl.n_items,
         mxu_flops=2 * wl.n_items * tm * config.tile_k * config.tile_n,
         useful_flops=_count_useful_flops(a, b),

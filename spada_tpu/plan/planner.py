@@ -282,7 +282,9 @@ def execute_plan(
         res = SpGemmResult(
             shape=(sub.shape[0], b.shape[1]), tm=tm, tn=plan.tile_n,
             c_tiles=np.asarray(c_tiles), c_tile_row=wl.c_tile_row,
-            c_tile_col=wl.c_tile_col, n_work_items=wl.n_items,
+            c_tile_col=wl.c_tile_col, tk=plan.tile_k,
+            tile_itemsize=int(np.dtype(dtype).itemsize),
+            n_work_items=wl.n_items,
         )
         segments.append(_Segment(tm, res, bases))
         n_work += wl.n_items

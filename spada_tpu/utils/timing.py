@@ -47,8 +47,10 @@ def device_time(
 
     ``fn`` must accept its first argument perturbed by a traced scalar
     (the loop-carry dependency): it is called as ``fn(args[0] + eps, *rest)``
-    where ``eps`` is a tiny traced scalar.  Returns the min over ``trials``
-    (min is the right statistic under shared-pool interference).
+    where ``eps`` is a tiny traced scalar.  Returns the median over
+    ``trials`` of the two-point slope (the median rejects shared-pool
+    interference spikes in either direction; a min over slope samples could
+    go negative under jitter).
     """
     import jax
     import jax.numpy as jnp

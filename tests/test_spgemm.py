@@ -251,3 +251,46 @@ def test_engine_item_chunking():
         n_c_tiles=wl.n_c_tiles, precision="highest",
     ))
     np.testing.assert_allclose(np.asarray(out), ref, rtol=1e-5, atol=1e-5)
+
+
+def test_oversized_single_tile_run():
+    """A single C tile whose run exceeds the launch cap must be computed via
+    chunked partial-tile launches (no unbounded recursion) and match XLA."""
+    from spada_tpu.io.workloads import random_csr
+    from spada_tpu.ops import engine as eng
+    from spada_tpu.ops.engine import (run_worklist_cached,
+                                      run_worklist_streaming,
+                                      run_worklist_xla)
+    from spada_tpu.ops.worklist import build_worklist
+    from spada_tpu.sparse.bsr import BsrMatrix
+
+    # one tile row x one tile col, long contraction: every work item lands
+    # on the same C tile
+    a = random_csr(32, 800, 0.4, seed=82)
+    b = random_csr(800, 32, 0.4, seed=83)
+    ab = BsrMatrix.from_csr(a, 32, 32, dtype=np.float32)
+    bb = BsrMatrix.from_csr(b, 32, 32, dtype=np.float32)
+    wl = build_worklist(ab, bb, order="row")
+    assert wl.n_c_tiles == 1 and wl.n_items > 12
+    ref = np.asarray(run_worklist_xla(
+        ab.tiles, bb.tiles, wl.a_tid, wl.b_tid, wl.o_tid,
+        n_c_tiles=1, precision="highest",
+    ))
+    old = eng._MAX_ITEMS_PER_LAUNCH
+    try:
+        eng._MAX_ITEMS_PER_LAUNCH = 6   # far below the single run's length
+        out_c, ap, bp = run_worklist_cached(
+            ab.tiles, bb.tiles, wl.a_tid, wl.b_tid, wl.o_tid,
+            n_c_tiles=1, a_slots=8, b_slots=8, depth=4,
+            precision="highest",
+        )
+        out_s = run_worklist_streaming(
+            ab.tiles, bb.tiles, wl.a_tid, wl.b_tid, wl.o_tid,
+            n_c_tiles=1, nbuf=4, precision="highest",
+        )
+    finally:
+        eng._MAX_ITEMS_PER_LAUNCH = old
+    np.testing.assert_allclose(np.asarray(out_c), ref, rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(out_s), ref, rtol=1e-5, atol=1e-5)
+    # the aggregated plan stays per-item (no fabricated empties)
+    assert len(ap.slot) == wl.n_items and len(bp.slot) == wl.n_items

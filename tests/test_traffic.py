@@ -2,8 +2,9 @@
 
 The model's product must equal scipy's (it *is* a functional SpGEMM), and its
 counters must match closed forms on schedules simple enough to account by
-hand — the reference's semantics (2 words/element, Belady-priority cache,
-write-back psums) asserted as invariants.
+hand — the reference's semantics (2 words/element, min-[priority,addr] LRU
+priority cache with no future knowledge, write-back psums) asserted as
+invariants, including a hand-walked schedule where LRU and Belady diverge.
 """
 
 import numpy as np
@@ -126,9 +127,16 @@ def test_cari_traffic_runs():
     assert r.a_mem.read_count == 2 * w.a.nnz
     assert r.b_mem.read_count >= r.b_distinct_words
     assert res.c.nnz > 0
-    # every counter is positive and self-consistent
-    assert r.cache.read_count > 0 and r.cache.write_count > 0
+    assert r.cache.write_count > 0
     assert r.dram_bytes > 0
+    # cari's B (2.4 MB) exceeds the stock 1.5 MiB cache and its
+    # ascending-column scans thrash LRU to zero hits (the reference's
+    # policy has no future knowledge); with B fully resident, hits appear
+    big = simulate_traffic(
+        w.a, w.b, SpadaConfig(cache_size=4 << 20), compute_values=False
+    ).report
+    assert big.cache.read_count > 0
+    assert big.b_mem.read_count == big.b_distinct_words
 
 
 def test_native_matches_python():
@@ -229,3 +237,107 @@ def test_estimated_cycles():
     # doubling bandwidth cannot increase the estimate
     fast = SpadaConfig(bandwidth_per_channel=16.0)
     assert r.estimated_cycles(fast, useful_mults=mults) <= cyc
+
+
+def _csr_from_rows(shape, rows_cols):
+    rows, cols = [], []
+    for r, cc in enumerate(rows_cols):
+        rows.extend([r] * len(cc))
+        cols.extend(cc)
+    return CsrMatrix.from_coo(
+        shape, np.asarray(rows, np.int64), np.asarray(cols, np.int64),
+        np.ones(len(rows)),
+    )
+
+
+def test_lru_priority_eviction_hand_walked():
+    """Pin the reference eviction policy (storage.rs:546-658) on a schedule
+    where LRU-by-last-access and Belady diverge.
+
+    A: row0 -> B{0,1}, row1 -> B{2}, row2 -> B{0}.  B rows are 2 nnz (4
+    words) each; capacity 12 words.  Walk: after row0 the psum insert (8
+    words for C[0] nnz=4) evicts the min-[prio,addr] row — B0 (both B0/B1
+    have prio 0; addr ties break low) — so row2's B0 access MISSES again.
+    Belady would instead evict B1 (never reused) and hit.  Totals: 4 fills,
+    b_read = miss = 16 words, b_evict = 8 (B0 at row0, B1 at row2),
+    zero hit reads.
+    """
+    a = _csr_from_rows((3, 3), [[0, 1], [2], [0]])
+    b = _csr_from_rows((3, 6), [[0, 1], [2, 3], [4, 5]])
+    cfg = SpadaConfig(cache_size=12 * 8, word_byte=8)
+    for backend in ("python", "native"):
+        if backend == "native":
+            from spada_tpu import native
+
+            if native.load() is None:
+                pytest.skip("no native toolchain")
+        r = simulate_traffic(a, b, cfg, compute_values=False,
+                             backend=backend).report
+        assert r.b_mem.read_count == 16, backend
+        assert r.cache.miss_count == 16, backend
+        assert r.cache.fill_count == 4, backend
+        assert r.cache.b_evict_count == 8, backend
+        assert r.cache.read_count == 0, backend   # no hits anywhere
+        assert r.cache.psum_evict_count == 0, backend
+
+
+def test_miss_readout_not_counted_as_cache_read():
+    """request_read_scalars' miss branch counts miss+write, NOT read
+    (storage.rs:792-818): with a cold cache and zero reuse, cache reads
+    stay zero."""
+    a = _csr_from_rows((2, 2), [[0], [1]])
+    b = _csr_from_rows((2, 4), [[0, 1], [2, 3]])
+    r = simulate_traffic(a, b, compute_values=False,
+                         backend="python").report
+    assert r.cache.miss_count == 8
+    assert r.cache.read_count == 0
+    assert r.cache.write_count == 8 + 2 * 4  # B fills + two psum rows
+
+
+def test_consume_miss_counts_read_and_miss():
+    """request_consume_scalars' DRAM-refill branch counts BOTH read_count
+    and miss_count (storage.rs:892-913).  Force psum evictions with a tiny
+    cache and a windowed (merging) schedule."""
+    a = powerlaw_csr(24, 32, 8.0, seed=40)
+    b = random_csr(32, 24, 0.3, seed=41)
+    cfg = SpadaConfig(cache_size=64 * 8)
+    r = simulate_traffic(a, b, cfg, window_k=2).report
+    # evicted psums refill from DRAM during merges
+    assert r.psum_mem.read_count > 0
+    assert r.cache.psum_evict_count > 0
+    # the refills are visible in both read and miss counters
+    assert r.cache.read_count > 0
+    assert r.cache.miss_count > r.b_mem.read_count  # more than B fills alone
+
+
+def test_estimated_cycles_hand_walked():
+    """Latency-aware cycle estimate validated on the hand-walked schedule:
+    4 fills x (30+0) latency / 2 PEs = 60 dominates both the compute side
+    (8 mults / 16 lanes + 8 merge elems / 18 units = 0) and the memory side
+    (40 words x 8 B / 128 B-per-cycle = 2)."""
+    a = _csr_from_rows((3, 3), [[0, 1], [2], [0]])
+    b = _csr_from_rows((3, 6), [[0, 1], [2, 3], [4, 5]])
+    cfg = SpadaConfig(cache_size=12 * 8, word_byte=8)
+    r = simulate_traffic(a, b, cfg, compute_values=False,
+                         backend="python").report
+    assert r.dram_bytes == 40 * 8
+    assert r.estimated_cycles(cfg, useful_mults=8) == 60
+    # with zero memory latency the memory roofline (2 cycles) takes over
+    fast = SpadaConfig(cache_size=12 * 8, mem_latency=0)
+    assert r.estimated_cycles(fast, useful_mults=8) == 2
+
+
+def test_psum_priority_is_address():
+    """A fresh psum's priority is its own address (storage.rs:712-717),
+    which sits above output_base — so a young psum survives while old B
+    rows are evicted first.  Schedule: row0 touches B{0,1} and produces a
+    4-word psum; capacity fits exactly B0+B1+psum; row1's B2 insert must
+    evict a B row (min prio), never the psum."""
+    a = _csr_from_rows((2, 3), [[0, 1], [2]])
+    b = _csr_from_rows((3, 4), [[0, 1], [0, 1], [2, 3]])
+    # row0 psum nnz = |{0,1}| = 2 -> 4 words; occupancy peak 4+4+4 = 12
+    cfg = SpadaConfig(cache_size=12 * 8, word_byte=8)
+    r = simulate_traffic(a, b, cfg, compute_values=False,
+                         backend="python").report
+    assert r.cache.psum_evict_count == 0
+    assert r.cache.b_evict_count == 4  # one B row made room for B2
