@@ -38,8 +38,10 @@ def build_parser() -> argparse.ArgumentParser:
         description="TPU-native adaptive-dataflow SpGEMM (spada-sim rebuilt)",
     )
     p.add_argument("mode", choices=["run", "traffic", "breuse", "plan"])
-    p.add_argument("dataflow", choices=["ip", "op", "rowwise", "spada"],
-                   help="dataflow / accelerator analog")
+    p.add_argument("dataflow",
+                   choices=["ip", "op", "rowwise", "spada", "element"],
+                   help="dataflow / accelerator analog (element = "
+                        "ESC engine for scattered sparsity)")
     p.add_argument("category", choices=["SS", "NN", "ss", "nn"])
     p.add_argument("workload", help="matrix name (SS) or gemm name (NN)")
     p.add_argument("config", nargs="?", default=None, help="config JSON path")
@@ -97,6 +99,16 @@ def cmd_run(args, config: SpadaConfig, w: GemmWorkload) -> int:
 
     dataflow = args.dataflow
     plan = None
+    if dataflow == "spada" and config.element_dispatch != "never":
+        from spada_tpu.ops.spgemm import dispatch_dataflow
+
+        choice, det = dispatch_dataflow(w.a, w.b, config)
+        if choice == "element" or config.element_dispatch == "always":
+            print(f"dataflow dispatch: element "
+                  f"(E={det['element']['e_products']}, modeled "
+                  f"{det['element']['t_est']*1e3:.2f}ms vs tile "
+                  f"{min(v['t_est'] for v in det['tile'].values())*1e3:.2f}ms)")
+            dataflow = "element"
     if dataflow == "spada":
         from spada_tpu.plan.planner import choose_tile_size, plan_spgemm
 
@@ -142,6 +154,8 @@ def _tile_bytes(res) -> int:
     (T may be re-chosen per matrix by choose_tile_size, and bf16 tiles move
     half the bytes of f32).
     """
+    if getattr(res, "element", None) is not None:  # ESC element path
+        return res.element.plan.operand_bytes()
     if hasattr(res, "segments"):  # PlanResult
         total = 0
         for seg in res.segments:

@@ -66,6 +66,12 @@ class SpadaConfig:
     acc_dtype: str = "float32"
     # memory budget for densifying C in the outer-product path (bytes)
     dense_c_budget: int = 2 << 30
+    # element-granular (ESC) path: chunk cap and dispatch policy
+    # ('auto' = byte/overhead cost model picks tile vs element per matrix;
+    #  'never'/'always' force one side — the reference's dataflow adaptivity
+    #  lifted to the density axis)
+    element_cap: int = 512
+    element_dispatch: str = "auto"
 
     # measured per-work-item kernel overhead by tile edge (v5e, cached
     # engine) — the planner's tile-size cost model input

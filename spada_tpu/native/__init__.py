@@ -63,6 +63,17 @@ def load() -> Optional[ctypes.CDLL]:
             ctypes.c_int64, ctypes.POINTER(ctypes.c_int32),
             ctypes.POINTER(ctypes.c_int32),
         ]
+        lib.esc_plan.restype = ctypes.c_int
+        lib.esc_plan.argtypes = [
+            ctypes.POINTER(ctypes.c_int64), ctypes.POINTER(ctypes.c_int32),
+            ctypes.c_int64,
+            ctypes.POINTER(ctypes.c_int64), ctypes.POINTER(ctypes.c_int32),
+            ctypes.c_int64, ctypes.c_int64,
+            ctypes.POINTER(ctypes.c_int64), ctypes.POINTER(ctypes.c_int32),
+            ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_int32),
+            ctypes.POINTER(ctypes.c_int64), ctypes.POINTER(ctypes.c_int32),
+            ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_int32),
+        ]
         lib.traffic_simulate.restype = ctypes.c_int
         lib.traffic_simulate.argtypes = [
             ctypes.POINTER(ctypes.c_int64), ctypes.POINTER(ctypes.c_int32),
@@ -132,3 +143,42 @@ def plan_tile_cache(tile_ids, n_slots: int, depth: int):
     if n < 0:
         return None
     return slot, ld, int(n)
+
+
+def esc_plan(a_indptr, a_indices, b_indptr, b_indices, b_rows: int,
+             cap: int, e_products: int):
+    """Native ESC symbolic phase (ops/element.py).
+
+    Returns (counts, c_indices, c_row_counts, class_L, class_n, esc_to_csr,
+    ag, bg) with worst-case-sized arrays (caller trims via counts), or None
+    if the native library is unavailable or the planner failed.
+    """
+    lib = load()
+    if lib is None:
+        return None
+    a_indptr = np.ascontiguousarray(a_indptr, dtype=np.int64)
+    a_indices = np.ascontiguousarray(a_indices, dtype=np.int32)
+    b_indptr = np.ascontiguousarray(b_indptr, dtype=np.int64)
+    b_indices = np.ascontiguousarray(b_indices, dtype=np.int32)
+    m = len(a_indptr) - 1
+    E = int(e_products)
+    counts = np.zeros(6, dtype=np.int64)
+    c_indices = np.empty(max(E, 1), dtype=np.int32)
+    c_row_counts = np.empty(max(m, 1), dtype=np.int32)
+    class_L = np.zeros(32, dtype=np.int32)
+    class_n = np.zeros(32, dtype=np.int64)
+    esc_to_csr = np.empty(E + E // max(cap, 1) + 2, dtype=np.int32)
+    ag = np.empty(2 * E + 64, dtype=np.int32)
+    bg = np.empty(2 * E + 64, dtype=np.int32)
+    rc = lib.esc_plan(
+        _ptr(a_indptr, ctypes.c_int64), _ptr(a_indices, ctypes.c_int32), m,
+        _ptr(b_indptr, ctypes.c_int64), _ptr(b_indices, ctypes.c_int32),
+        b_rows, cap,
+        _ptr(counts, ctypes.c_int64), _ptr(c_indices, ctypes.c_int32),
+        _ptr(c_row_counts, ctypes.c_int32), _ptr(class_L, ctypes.c_int32),
+        _ptr(class_n, ctypes.c_int64), _ptr(esc_to_csr, ctypes.c_int32),
+        _ptr(ag, ctypes.c_int32), _ptr(bg, ctypes.c_int32),
+    )
+    if rc != 0:
+        return None
+    return counts, c_indices, c_row_counts, class_L, class_n, esc_to_csr, ag, bg

@@ -305,3 +305,159 @@ int64_t plan_tile_cache(const int64_t* tile_ids, int64_t W, int64_t n_slots,
 }
 
 }  // extern "C"
+
+extern "C" {
+
+// ---------------------------------------------------------------------------
+// 4. ESC plan builder (ops/element.py, native for large expansions)
+// ---------------------------------------------------------------------------
+// The element-granular symbolic phase: expand every scalar product
+// a[r,k]*b[k,j] (the reference scheduler's window expansion,
+// scheduler.rs:482-606), merge-sort products by output element (the
+// SortingNetwork/MergeTree of simulator.rs:117-235, resolved at plan time),
+// split segments into <=cap chunks and bucket them by power-of-two length
+// class.  Single pass per row with a per-row sort — the global key sort of
+// the numpy fallback is unnecessary because the row-major expansion already
+// groups products by output row.
+//
+// Outputs (caller-allocated; E = total products, known in closed form):
+//   counts[6]     : nnzC, total_chunks, n_padded, n_classes, max_class, E
+//   c_indices[E]  : column of each output nonzero (CSR order)
+//   c_row_counts[m]: nonzeros of C per row
+//   class_L[32], class_n[32]
+//   esc_to_csr[E + E/cap + 2] : segment id per chunk, class-grouped order
+//   ag, bg[2E + 64]           : flat class-grouped padded operand indices
+//                               (sentinels nnz_a / nnz_b)
+// Returns 0, or -1 on allocation failure.
+int esc_plan(const int64_t* a_indptr, const int32_t* a_indices, int64_t m,
+             const int64_t* b_indptr, const int32_t* b_indices,
+             int64_t b_rows, int64_t cap,
+             int64_t* counts, int32_t* c_indices, int32_t* c_row_counts,
+             int32_t* class_L, int64_t* class_n, int32_t* esc_to_csr,
+             int32_t* ag, int32_t* bg) {
+    const int64_t nnz_a = a_indptr[m];
+    const int64_t nnz_b = b_indptr[b_rows];
+    int log_cap = 0;
+    while ((int64_t(1) << log_cap) < cap) ++log_cap;
+    const int n_classes_max = log_cap + 1;   // L = 1, 2, ..., cap
+    if (n_classes_max > 32) return -1;
+
+    // total products E
+    int64_t E = 0;
+    for (int64_t i = 0; i < nnz_a; ++i) {
+        int32_t k = a_indices[i];
+        E += b_indptr[k + 1] - b_indptr[k];
+    }
+
+    // merged-order product operand indices + chunk metadata
+    std::vector<int32_t> s_ae, s_be;
+    std::vector<int64_t> ch_start;
+    std::vector<int32_t> ch_len, ch_seg;
+    std::vector<int8_t> ch_cls;
+    try {
+        s_ae.resize((size_t)E);
+        s_be.resize((size_t)E);
+    } catch (...) { return -1; }
+
+    struct Trip { int32_t col, ae; int32_t be; };
+    std::vector<uint64_t> keys;   // col<<32 | scratch idx (stable per-row)
+    std::vector<Trip> scratch;
+
+    int64_t pos = 0;       // write position in merged order
+    int64_t nnz_c = 0;
+    int64_t class_hist[32] = {0};
+
+    for (int64_t r = 0; r < m; ++r) {
+        c_row_counts[r] = 0;
+        // expand row r
+        scratch.clear();
+        for (int64_t i = a_indptr[r]; i < a_indptr[r + 1]; ++i) {
+            int32_t k = a_indices[i];
+            for (int64_t j = b_indptr[k]; j < b_indptr[k + 1]; ++j)
+                scratch.push_back({b_indices[j], (int32_t)i, (int32_t)j});
+        }
+        const size_t nr = scratch.size();
+        if (!nr) continue;
+        if (nr > (size_t)UINT32_MAX) return -1;  // key packing limit
+        keys.resize(nr);
+        for (size_t t = 0; t < nr; ++t)
+            keys[t] = ((uint64_t)(uint32_t)scratch[t].col << 32) | (uint32_t)t;
+        std::sort(keys.begin(), keys.end());
+        // walk sorted: segments by column, chunks of <=cap
+        size_t t = 0;
+        while (t < nr) {
+            int32_t col = (int32_t)(keys[t] >> 32);
+            size_t seg_end = t;
+            while (seg_end < nr && (int32_t)(keys[seg_end] >> 32) == col)
+                ++seg_end;
+            c_indices[nnz_c] = col;
+            ++c_row_counts[r];
+            size_t len = seg_end - t;
+            for (size_t off = 0; off < len; off += (size_t)cap) {
+                int32_t clen = (int32_t)std::min((size_t)cap, len - off);
+                int cls = 0;
+                while ((1 << cls) < clen) ++cls;
+                ch_start.push_back(pos + (int64_t)t + (int64_t)off);
+                ch_len.push_back(clen);
+                ch_seg.push_back((int32_t)nnz_c);
+                ch_cls.push_back((int8_t)cls);
+                ++class_hist[cls];
+            }
+            ++nnz_c;
+            t = seg_end;
+        }
+        for (size_t q = 0; q < nr; ++q) {
+            const Trip& tr = scratch[(uint32_t)keys[q]];
+            s_ae[(size_t)(pos + (int64_t)q)] = tr.ae;
+            s_be[(size_t)(pos + (int64_t)q)] = tr.be;
+        }
+        pos += (int64_t)nr;
+    }
+
+    // class layout: slot offsets in the flat padded arrays + chunk offsets
+    int n_classes = 0;
+    int64_t class_slot_base[33] = {0};   // padded-slot base per class
+    int64_t class_chunk_base[33] = {0};  // chunk-count base per class
+    int cls_id_of[32];
+    int64_t n_padded = 0, total_chunks = 0;
+    for (int c = 0; c < n_classes_max; ++c) {
+        if (!class_hist[c]) { cls_id_of[c] = -1; continue; }
+        cls_id_of[c] = n_classes;
+        class_L[n_classes] = 1 << c;
+        class_n[n_classes] = class_hist[c];
+        class_slot_base[n_classes] = n_padded;
+        class_chunk_base[n_classes] = total_chunks;
+        n_padded += class_hist[c] * (int64_t(1) << c);
+        total_chunks += class_hist[c];
+        ++n_classes;
+    }
+    // fill class-grouped padded operands + esc_to_csr
+    std::vector<int64_t> class_fill(n_classes, 0);
+    for (size_t ci = 0; ci < ch_start.size(); ++ci) {
+        int cid = cls_id_of[(int)ch_cls[ci]];
+        int64_t L = (int64_t)class_L[cid];
+        int64_t slot = class_fill[cid]++;
+        int64_t dst = class_slot_base[cid] + slot * L;
+        int64_t src = ch_start[ci];
+        int32_t len = ch_len[ci];
+        for (int32_t q = 0; q < len; ++q) {
+            ag[dst + q] = s_ae[(size_t)(src + q)];
+            bg[dst + q] = s_be[(size_t)(src + q)];
+        }
+        for (int64_t q = len; q < L; ++q) {
+            ag[dst + q] = (int32_t)nnz_a;
+            bg[dst + q] = (int32_t)nnz_b;
+        }
+        esc_to_csr[class_chunk_base[cid] + slot] = ch_seg[ci];
+    }
+
+    counts[0] = nnz_c;
+    counts[1] = total_chunks;
+    counts[2] = n_padded;
+    counts[3] = n_classes;
+    counts[4] = int64_t(1) << log_cap;
+    counts[5] = E;
+    return 0;
+}
+
+}  // extern "C"

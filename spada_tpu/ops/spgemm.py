@@ -20,7 +20,7 @@ from __future__ import annotations
 
 import dataclasses
 import time
-from typing import Optional
+from typing import Optional, Tuple
 
 import numpy as np
 
@@ -33,7 +33,7 @@ from spada_tpu.sparse.csr import CsrMatrix
 
 @dataclasses.dataclass
 class SpGemmResult:
-    """Numeric result (block-sparse) plus execution metadata."""
+    """Numeric result (block-sparse or element-granular) + execution metadata."""
 
     shape: tuple
     tm: int
@@ -47,8 +47,14 @@ class SpGemmResult:
     mxu_flops: int = 0           # FLOPs actually issued to the MXU
     useful_flops: int = 0        # 2 * scalar multiply count (the algorithmic work)
     elapsed_s: Optional[float] = None
+    # element-granular (ESC) path result; when set, c_tiles is empty and
+    # todense/to_csr delegate (see spada_tpu.ops.element)
+    element: Optional[object] = None
+    engine_used: str = "tile"    # 'tile' | 'element'
 
     def todense(self) -> np.ndarray:
+        if self.element is not None:
+            return self.element.todense()
         tiles = np.asarray(self.c_tiles)
         n_tile_cols = -(-self.shape[1] // self.tn)
         n_tile_rows = -(-self.shape[0] // self.tm)
@@ -60,8 +66,10 @@ class SpGemmResult:
         return d[: self.shape[0], : self.shape[1]]
 
     def to_csr(self, prune_eps: float = 0.0) -> CsrMatrix:
-        """Extract CSR from the block-sparse result (the rebuild's
-        ``get_exec_result``, simulator.rs:1034-1062)."""
+        """Extract CSR from the result (the rebuild's ``get_exec_result``,
+        simulator.rs:1034-1062)."""
+        if self.element is not None:
+            return self.element.to_csr()
         tiles = np.asarray(self.c_tiles)
         t, r, c = np.nonzero(np.abs(tiles) > prune_eps)
         rows = self.c_tile_row[t].astype(np.int64) * self.tm + r
@@ -83,6 +91,59 @@ def _count_useful_flops(a: CsrMatrix, b: CsrMatrix) -> int:
     return int(2 * np.dot(a_col_counts.astype(np.int64), b_row_lens.astype(np.int64)))
 
 
+def estimate_element_time(a: CsrMatrix, b: CsrMatrix,
+                          config: SpadaConfig) -> dict:
+    """Closed-form time model for the element (ESC) path.
+
+    Streamed bytes: two padded f32 operand slots per product (padding <= 2x
+    from the pow-2 classes) plus the chunk outputs (bounded by E); plus a
+    fixed launch overhead.  Mirrors choose_tile_size's byte/overhead model
+    on the element side of the dispatch.
+    """
+    from spada_tpu.ops.element import expansion_products
+
+    e = expansion_products(a, b)
+    worst_bytes = 2 * 2 * e * 4 + e * 4
+    return {
+        "e_products": e,
+        "t_est": worst_bytes / config.hbm_bytes_per_s + 30e-6,
+    }
+
+
+def dispatch_dataflow(a: CsrMatrix, b: CsrMatrix,
+                      config: SpadaConfig) -> Tuple[str, dict]:
+    """Tile vs element engine choice by modeled time.
+
+    The reference adapts its dataflow to sparsity structure cycle-by-cycle
+    (scheduler.rs adjust schemes); the TPU-native matrix-level analog is
+    this density-regime dispatch: clustered structure -> MXU tile products,
+    scattered structure -> the streaming element path.
+    """
+    from spada_tpu.plan.planner import choose_tile_size
+
+    elem = estimate_element_time(a, b, config)
+    t_best, t_det = choose_tile_size(a, b, config)
+    t_tile = min(v["t_est"] for v in t_det.values())
+    choice = "element" if elem["t_est"] < t_tile else "tile"
+    return choice, {"element": elem, "tile": t_det, "tile_T": t_best}
+
+
+def _spgemm_via_element(a: CsrMatrix, b: CsrMatrix,
+                        config: SpadaConfig) -> SpGemmResult:
+    from spada_tpu.ops.element import spgemm_element
+
+    er = spgemm_element(a, b, cap=config.element_cap)
+    return SpGemmResult(
+        shape=(a.shape[0], b.shape[1]), tm=1, tn=1,
+        c_tiles=np.zeros((0, 1, 1), np.float32),
+        c_tile_row=np.zeros(0, np.int32), c_tile_col=np.zeros(0, np.int32),
+        n_work_items=len(er.plan.esc_to_csr),
+        mxu_flops=2 * er.plan.n_padded,
+        useful_flops=2 * er.plan.n_products,
+        elapsed_s=er.elapsed_s, element=er, engine_used="element",
+    )
+
+
 def spgemm(
     a: CsrMatrix,
     b: CsrMatrix,
@@ -96,16 +157,29 @@ def spgemm(
 
     For ``dataflow='spada'`` a planner-produced :class:`ExecutionPlan` may be
     passed (see spada_tpu.plan); otherwise a single uniform panel height is
-    used.
+    used.  ``dataflow='element'`` forces the element-granular ESC engine;
+    under ``'spada'`` the engine is picked per matrix by
+    :func:`dispatch_dataflow` (config.element_dispatch).
     """
     config = config or SpadaConfig()
     dataflow = dataflow or config.dataflow
-    if dataflow not in ("spada", "ip", "op", "rowwise"):
+    if dataflow not in ("spada", "ip", "op", "rowwise", "element"):
         raise ValueError(
-            f"unknown dataflow {dataflow!r}; expected spada|ip|op|rowwise"
+            f"unknown dataflow {dataflow!r}; "
+            "expected spada|ip|op|rowwise|element"
         )
     if a.shape[1] != b.shape[0]:
         raise ValueError(f"shape mismatch {a.shape} @ {b.shape}")
+
+    if dataflow == "element" or (
+        dataflow == "spada" and config.element_dispatch == "always"
+    ):
+        return _spgemm_via_element(a, b, config)
+    if (dataflow == "spada" and plan is None
+            and config.element_dispatch == "auto"):
+        choice, _ = dispatch_dataflow(a, b, config)
+        if choice == "element":
+            return _spgemm_via_element(a, b, config)
 
     if dataflow == "spada" and plan is not None:
         from spada_tpu.plan.planner import execute_plan
@@ -177,6 +251,8 @@ def spgemm_csr(
     """
     config = config or SpadaConfig()
     dataflow = dataflow or config.dataflow
+    if dataflow == "element":
+        return spgemm(a, b, config, dataflow="element").to_csr()
     if tm is None:
         tm = {"ip": 128, "op": 8, "rowwise": 32}.get(dataflow, config.default_tm)
     if dataflow == "op":

@@ -1,0 +1,150 @@
+"""Element-granular (ESC) SpGEMM path: correctness, parity, dispatch.
+
+The element engine realizes the reference's PE multiply-merge datapath
+(simulator.rs:117-235) for scattered sparsity where MXU tiles are empty;
+tests pin it against the scipy oracle, check native/numpy planner parity,
+and verify the density-regime dispatch.
+"""
+
+import numpy as np
+import pytest
+
+from spada_tpu.config import SpadaConfig
+from spada_tpu.io.workloads import (banded_csr, localized_powerlaw_csr,
+                                    powerlaw_csr, random_csr)
+from spada_tpu.ops.element import (build_esc_plan, esc_operands, esc_execute,
+                                   expansion_products, spgemm_element)
+from spada_tpu.ops.spgemm import dispatch_dataflow, spgemm
+from spada_tpu.sparse.csr import CsrMatrix
+
+
+def _oracle(a, b):
+    return np.asarray((a.to_scipy() @ b.to_scipy()).todense())
+
+
+CASES = [
+    ("uniform", random_csr(60, 80, 0.08, seed=1, dtype=np.float32),
+     random_csr(80, 50, 0.08, seed=2, dtype=np.float32)),
+    ("powerlaw", powerlaw_csr(300, 300, 5.0, seed=3, dtype=np.float32),
+     powerlaw_csr(300, 300, 5.0, seed=4, dtype=np.float32)),
+    ("loc-powerlaw",
+     localized_powerlaw_csr(512, 512, 12.0, seed=5, dtype=np.float32),
+     localized_powerlaw_csr(512, 512, 12.0, seed=6, dtype=np.float32)),
+    ("dense-ish", random_csr(48, 48, 0.6, seed=7, dtype=np.float32),
+     random_csr(48, 48, 0.6, seed=8, dtype=np.float32)),
+]
+
+
+@pytest.mark.parametrize("name,a,b", CASES, ids=[c[0] for c in CASES])
+def test_element_matches_scipy(name, a, b):
+    res = spgemm_element(a, b)
+    np.testing.assert_allclose(
+        res.todense(), _oracle(a, b), rtol=1e-4, atol=1e-4
+    )
+
+
+def test_element_structure_matches_scipy():
+    """Symbolic phase: C's CSR structure equals the boolean product's."""
+    a, b = CASES[1][1], CASES[1][2]
+    plan = build_esc_plan(a, b)
+    sp = ((a.to_scipy() != 0) @ (b.to_scipy() != 0)).tocsr()
+    sp.sort_indices()
+    assert np.array_equal(plan.indptr, sp.indptr)
+    assert np.array_equal(plan.indices, sp.indices)
+    assert plan.n_products == expansion_products(a, b)
+
+
+def test_chunk_split_oversized_segments():
+    """cap smaller than segment lengths forces multi-chunk merges."""
+    a = random_csr(30, 20, 0.5, seed=11, dtype=np.float32)
+    b = random_csr(20, 25, 0.5, seed=12, dtype=np.float32)
+    res = spgemm_element(a, b, cap=4)
+    plan = res.plan
+    assert len(plan.esc_to_csr) > plan.nnz_c  # split chunks exist
+    np.testing.assert_allclose(
+        res.todense(), _oracle(a, b), rtol=1e-4, atol=1e-4
+    )
+
+
+def test_native_numpy_plan_parity():
+    """The C++ planner and the numpy reference produce identical plans."""
+    from spada_tpu import native
+
+    if native.load() is None:
+        pytest.skip("no native toolchain")
+    for _, a, b in CASES[:3]:
+        pn = build_esc_plan(a, b, cap=8, backend="auto")
+        pp = build_esc_plan(a, b, cap=8, backend="python")
+        assert pn.nnz_c == pp.nnz_c
+        assert pn.n_padded == pp.n_padded
+        assert np.array_equal(pn.indptr, pp.indptr)
+        assert np.array_equal(pn.indices, pp.indices)
+        assert np.array_equal(pn.esc_to_csr, pp.esc_to_csr)
+        assert len(pn.buckets) == len(pp.buckets)
+        for bn, bp in zip(pn.buckets, pp.buckets):
+            assert bn.L == bp.L
+            assert np.array_equal(bn.a_gidx, bp.a_gidx)
+            assert np.array_equal(bn.b_gidx, bp.b_gidx)
+
+
+def test_value_refresh_reuses_plan():
+    """Same structure, new values: one plan, re-gathered operands."""
+    a, b = CASES[0][1], CASES[0][2]
+    plan = build_esc_plan(a, b)
+    a2 = CsrMatrix(a.shape, a.indptr, a.indices,
+                   a.data * 2.0 + 1.0, check=False)
+    vals = esc_execute(esc_operands(plan, a2, b))
+    from spada_tpu.ops.element import EscResult
+
+    got = EscResult(plan, vals).todense()
+    np.testing.assert_allclose(got, _oracle(a2, b), rtol=1e-4, atol=1e-4)
+
+
+def test_empty_cases():
+    a = random_csr(10, 10, 0.0, seed=0, dtype=np.float32)
+    b = random_csr(10, 10, 0.3, seed=1, dtype=np.float32)
+    res = spgemm_element(a, b)
+    assert res.plan.nnz_c == 0
+    assert res.todense().shape == (10, 10)
+    assert not res.todense().any()
+
+
+def test_dispatch_scattered_vs_clustered():
+    """Density dispatch: scattered structure -> element; banded -> tile."""
+    cfg = SpadaConfig()
+    scat_a = powerlaw_csr(2048, 2048, 4.0, seed=20, dtype=np.float32)
+    scat_b = powerlaw_csr(2048, 2048, 4.0, seed=21, dtype=np.float32)
+    choice, _ = dispatch_dataflow(scat_a, scat_b, cfg)
+    assert choice == "element"
+    band_a = banded_csr(2048, 2048, 64, seed=22, dtype=np.float32)
+    band_b = banded_csr(2048, 2048, 64, seed=23, dtype=np.float32)
+    choice, _ = dispatch_dataflow(band_a, band_b, cfg)
+    assert choice == "tile"
+
+
+def test_spgemm_auto_routes_element():
+    """spgemm(dataflow='spada') auto-routes scattered input to the element
+    engine and still matches scipy."""
+    a = powerlaw_csr(1024, 1024, 4.0, seed=30, dtype=np.float32)
+    b = powerlaw_csr(1024, 1024, 4.0, seed=31, dtype=np.float32)
+    res = spgemm(a, b, SpadaConfig(precision="highest"), dataflow="spada")
+    assert res.engine_used == "element"
+    np.testing.assert_allclose(
+        res.todense(), _oracle(a, b), rtol=1e-4, atol=1e-4
+    )
+    # forced element dataflow gives the same result
+    res2 = spgemm(a, b, dataflow="element")
+    np.testing.assert_allclose(
+        res2.todense(), _oracle(a, b), rtol=1e-4, atol=1e-4
+    )
+
+
+def test_dispatch_never_forces_tile():
+    a = powerlaw_csr(256, 256, 3.0, seed=40, dtype=np.float32)
+    b = powerlaw_csr(256, 256, 3.0, seed=41, dtype=np.float32)
+    cfg = SpadaConfig(element_dispatch="never", precision="highest")
+    res = spgemm(a, b, cfg, dataflow="spada")
+    assert res.engine_used == "tile"
+    np.testing.assert_allclose(
+        res.todense(), _oracle(a, b), rtol=1e-4, atol=1e-4
+    )
