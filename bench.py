@@ -3,15 +3,28 @@
 Prints ONE JSON line:
   {"metric": "spgemm_pct_sol", "value": <pct>, "unit": "%", "vs_baseline": r}
 
-- Correctness gate: stock workload cari (C = A·Aᵀ) vs scipy (BASELINE.md).
-- Perf workload: banded block-sparse SpGEMM at HBM-bound scale.
+- Correctness gates: (a) stock workload cari (C = A·Aᵀ) vs scipy
+  (BASELINE.md); (b) the *measured perf engine itself* (cached bf16 Pallas
+  kernel) vs an f32 XLA computation of the same worklist, compared on
+  device (readback over the tunnel is ~5 MB/s, so only the max-relative-
+  error scalar comes back).
+- Perf workloads: banded block-sparse SpGEMM at HBM-bound scale (tile/MXU
+  engine) + a 16k localized-powerlaw matrix (SuiteSparse-like scattered
+  structure, element/ESC engine).
 - Timing: chained on-device iterations fenced by host readback
   (spada_tpu.utils.timing — ``block_until_ready`` is unreliable through the
   tunneled runtime).
-- Speed-of-light: the *naive streaming* bound — every work item moves its A
-  and B tile from HBM once and every C tile is written once — at the chip's
-  spec bandwidth.  vs_baseline is against the >=70%-of-SoL north star
-  (BASELINE.json); the reference publishes no hardware numbers.
+- Speed-of-light, two bounds reported side by side:
+    * naive streaming — every work item moves its A and B tile from HBM
+      once, C written once.  NOT an upper bound for the cached kernel
+      (which elides reused-tile traffic by design) — kept because it is
+      the bound the *uncached* baseline obeys.
+    * Belady unique-byte — only the cache plan's actual DMA loads count
+      (``pct_sol_belady``).  This IS an upper bound for the cached kernel:
+      the true minimum-traffic roofline.
+  The headline `value` is the naive-bound figure (the BASELINE.json >=70%
+  north star); `pct_sol_belady` in the detail is the honest distance to
+  the hardware limit.  The reference publishes no hardware numbers.
 """
 
 import json
@@ -141,15 +154,64 @@ def main() -> int:
                 c = c.at[oi[sl]].add(part)
             return c
 
+    # ---- perf-engine correctness gate (on device; scalar readback) ----
+    # The measured kernel IS the gated kernel — no precision rerouting can
+    # sneak an XLA fallback into the gate while Pallas takes the timing.
+    if on_tpu:
+        @jax.jit
+        def _relerr(at, bt):
+            c_perf = engine(at, bt)
+            atf = at.astype(jnp.float32)
+            btf = bt.astype(jnp.float32)
+            c_ref = jnp.zeros((nC, tm, tn), jnp.float32)
+            step = 2048
+            for s in range(-(-W // step)):
+                sl = slice(s * step, min((s + 1) * step, W))
+                part = jax.lax.dot_general(
+                    atf[ai[sl]], btf[bi[sl]],
+                    dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+                    preferred_element_type=jnp.float32,
+                    precision=jax.lax.Precision.HIGHEST,
+                )
+                c_ref = c_ref.at[oi[sl]].add(part)
+            return (jnp.max(jnp.abs(c_perf.astype(jnp.float32) - c_ref))
+                    / jnp.max(jnp.abs(c_ref)))
+
+        perf_relerr = float(_relerr(at, bt))
+        if not perf_relerr < 2e-2:  # bf16 inputs, f32 accumulation
+            print(json.dumps({
+                "metric": "spgemm_pct_sol", "value": 0.0, "unit": "%",
+                "vs_baseline": 0.0,
+                "error": f"perf-engine correctness gate failed "
+                         f"(relerr={perf_relerr:.3e})",
+            }))
+            return 1
+    else:
+        perf_relerr = 0.0
+
     rt = measure_roundtrip()
     elapsed = device_time(engine, (at, bt), k=16, trials=5, roundtrip=rt)
 
-    # ---- speed-of-light model (naive streaming bound, spec bandwidth) ----
-    bytes_moved = W * (tm * tk + tk * tn) * isz + nC * tm * tn * 4
+    # ---- speed-of-light: naive streaming + Belady unique-byte bounds ----
+    c_bytes = nC * tm * tn * 4
+    bytes_naive = W * (tm * tk + tk * tn) * isz + c_bytes
     mxu_flops = 2 * W * tm * tk * tn
-    t_sol = max(bytes_moved / config.hbm_bytes_per_s,
+    t_sol = max(bytes_naive / config.hbm_bytes_per_s,
                 mxu_flops / config.peak_flops_bf16)
     pct = 100.0 * t_sol / elapsed if on_tpu else 0.0
+    if on_tpu:
+        bytes_belady = (a_plan.n_loads * tm * tk
+                        + b_plan.n_loads * tk * tn) * isz + c_bytes
+        t_sol_belady = max(bytes_belady / config.hbm_bytes_per_s,
+                           mxu_flops / config.peak_flops_bf16)
+        pct_belady = 100.0 * t_sol_belady / elapsed
+    else:
+        bytes_belady, pct_belady = bytes_naive, 0.0
+
+    # ---- irregular workload: SuiteSparse-like scattered structure ----
+    # (uniform-column powerlaw; tiles are near-empty so the tile engine is
+    # off the table — this measures the element/ESC engine end to end)
+    irr = _bench_irregular(config, on_tpu)
 
     print(json.dumps({
         "metric": "spgemm_pct_sol",
@@ -160,13 +222,80 @@ def main() -> int:
             "backend": backend,
             "elapsed_ms": round(elapsed * 1e3, 3),
             "sol_ms": round(t_sol * 1e3, 3),
+            "pct_sol_belady": round(pct_belady, 2),
+            "sol_belady_ms": round(t_sol_belady * 1e3, 3) if on_tpu else 0.0,
+            "hbm_gb_naive": round(bytes_naive / 1e9, 3),
+            "hbm_gb_belady": round(bytes_belady / 1e9, 3),
+            "perf_engine_relerr": round(perf_relerr, 6),
             "roundtrip_ms": round(rt * 1e3, 1),
             "n": n, "work_items": int(W), "c_tiles": int(nC),
-            "hbm_gb": round(bytes_moved / 1e9, 3),
             "effective_gflops": round(mxu_flops / elapsed / 1e9, 1),
+            "irregular": irr,
         },
     }))
     return 0
+
+
+def _bench_irregular(config, on_tpu: bool) -> dict:
+    """Element-engine benchmark on scattered (SuiteSparse-like) structure.
+
+    Round-1 had no execution path at all here (VERDICT.md Missing #1): the
+    tile engine needed 85 ms on this matrix.  Reports device exec time,
+    streamed bandwidth, %-of-HBM-SoL for the plan's actual bytes, and the
+    padding efficiency.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from spada_tpu.io.workloads import localized_powerlaw_csr
+    from spada_tpu.ops.element import (build_esc_plan, esc_operands,
+                                       esc_transfer, _esc_execute_jit)
+    from spada_tpu.utils.timing import device_time
+
+    n = 16384 if on_tpu else 2048
+    a = localized_powerlaw_csr(n, n, 16.0, seed=1, dtype=np.float32)
+    b = localized_powerlaw_csr(n, n, 16.0, seed=2, dtype=np.float32)
+    plan = build_esc_plan(a, b)
+    ops = esc_transfer(esc_operands(plan, a, b))
+    run = _esc_execute_jit()
+
+    # correctness on the measured engine (small slice via scipy oracle)
+    import scipy.sparse as sp
+
+    vals = np.zeros(plan.nnz_c, np.float64)
+    np.add.at(vals, plan.esc_to_csr, np.asarray(run(ops)))
+    got = sp.csr_matrix((vals, plan.indices, plan.indptr), shape=plan.shape)
+    ref = (a.to_scipy() @ b.to_scipy()).tocsr()
+    ref.sort_indices()
+    err = abs(got - ref).max() / max(abs(ref).max(), 1e-30)
+    if not err < 1e-3:
+        return {"error": f"element correctness failed (relerr={err:.3e})"}
+
+    if not on_tpu:
+        return {"n": n, "nnz_c": plan.nnz_c, "backend": "cpu"}
+
+    flat = [x for pair in ops for x in pair]
+
+    def fn(first, *rest):
+        xs = (first,) + rest
+        # perturb EVERY operand so no bucket hoists out of the timing loop
+        eps = (jnp.sum(first[:1]) * 1e-30).astype(first.dtype)
+        pairs = tuple((xs[2 * i] + eps, xs[2 * i + 1])
+                      for i in range(len(xs) // 2))
+        return run(pairs)
+
+    el = device_time(fn, tuple(flat), k=32, trials=5)
+    bytes_str = plan.operand_bytes()
+    t_sol = bytes_str / config.hbm_bytes_per_s
+    return {
+        "n": n, "nnz_a": int(a.nnz), "nnz_c": plan.nnz_c,
+        "e_products": plan.n_products,
+        "elapsed_ms": round(el * 1e3, 4),
+        "pct_sol": round(100.0 * t_sol / el, 2),
+        "stream_gbps": round(bytes_str / el / 1e9, 1),
+        "density_efficiency": round(plan.density_efficiency, 4),
+        "relerr": round(float(err), 8),
+    }
 
 
 if __name__ == "__main__":
