@@ -127,14 +127,14 @@ def main() -> int:
         apk = jnp.asarray(_pack_plan(wl.a_tid, a_plan))
         bpk = jnp.asarray(_pack_plan(wl.b_tid, b_plan))
         n_groups = -(-nC // ogroup)
-        item_ptr = jnp.asarray(
+        tile_ptr = jnp.asarray(
             np.searchsorted(np.asarray(wl.o_tid),
-                            np.arange(n_groups + 1) * ogroup).astype(np.int32)
+                            np.arange(n_groups * ogroup + 1)).astype(np.int32)
         )
 
         def engine(at, bt):
             return _run_pallas_cached(
-                item_ptr, oi, apk, bpk, at, bt, n_c_tiles=nC,
+                tile_ptr, apk, bpk, at, bt, n_c_tiles=nC,
                 a_slots=a_slots, b_slots=b_slots, depth=depth, ogroup=ogroup,
                 interpret=False, precision="default",
             )

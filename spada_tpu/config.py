@@ -83,6 +83,10 @@ class SpadaConfig:
     hbm_bytes_per_s: float = 819e9
     peak_flops_f32: float = 98e12
     peak_flops_bf16: float = 197e12
+    # per-link one-way ICI bandwidth (v5e: 4 links / chip, 2-D torus;
+    # ~45 GB/s each way per link) — the weak-scaling projection input
+    ici_bytes_per_s: float = 45e9
+    ici_links: int = 4
 
     @classmethod
     def fast(cls, **overrides) -> "SpadaConfig":

@@ -421,16 +421,27 @@ def run_worklist_streaming(a_tiles, b_tiles, a_ids, b_ids, o_ids,
 # engine below the naive per-item streaming bound toward the unique-tile
 # minimum.
 
-def _make_cached_kernel(n_items: int, depth: int, ogroup: int, precision):
+def _make_cached_kernel(n_items: int, depth: int, ogroup: int, precision,
+                        unroll: int = 1, out_dtype=jnp.float32):
     # Grid step = OGROUP consecutive C tiles (amortizes the ~0.7us grid-step
     # overhead); per-item scalar state packed into one int32 per operand
     # (6 separate arrays overflow SMEM at large W):
     #   packed = (tile_id << 9) | (slot << 1) | load
-    def kernel(item_ptr_ref, o_ids_ref, a_pk_ref, b_pk_ref,
-               a_hbm, b_hbm, c_ref, acache, bcache, asem, bsem):
+    # The group runs one STATIC sub-loop per C tile, so the accumulate
+    # target `acc_ref[j]` is compile-time fixed — a dynamic output index
+    # (`c_ref[o_ids[w] - base]`) forced Mosaic through a slow
+    # copy-in/copy-out path on every item (~550 ns/item vs ~330 with the
+    # static target; measured in tools/sweep_cached.py).  o_ids never
+    # enters the kernel at all: the tile-granular item_ptr carries the
+    # whole output schedule, and SMEM holds one fewer W-sized array.
+    # With a non-f32 out_dtype the group's tiles accumulate in an f32 VMEM
+    # scratch and down-convert once per group (bf16 HBM writeback at f32
+    # accuracy); with f32 out the output block itself is the accumulator.
+    def kernel(tile_ptr_ref, a_pk_ref, b_pk_ref,
+               a_hbm, b_hbm, c_ref, acache, bcache, asem, bsem,
+               *acc_scratch):
+        acc_ref = acc_scratch[0] if acc_scratch else c_ref
         g = pl.program_id(0)
-        lo = item_ptr_ref[g]
-        hi = item_ptr_ref[g + 1]
         base = g * ogroup
 
         def unpack(pk):
@@ -459,9 +470,9 @@ def _make_cached_kernel(n_items: int, depth: int, ogroup: int, precision):
                 def _():
                     start_loads(w)
 
-        c_ref[...] = jnp.zeros_like(c_ref)
+        acc_ref[...] = jnp.zeros_like(acc_ref)
 
-        def body(w, _):
+        def do_item(w, j):
             @pl.when(w + depth < n_items)
             def _():
                 start_loads(w + depth)
@@ -480,15 +491,39 @@ def _make_cached_kernel(n_items: int, depth: int, ogroup: int, precision):
                     b_hbm.at[b_tid], bcache.at[sb], bsem.at[sb]
                 ).wait()
 
-            c_ref[o_ids_ref[w] - base] += jax.lax.dot_general(
+            acc_ref[j] += jax.lax.dot_general(
                 acache[sa], bcache[sb],
                 dimension_numbers=(((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32,
                 precision=precision,
             )
-            return 0
 
-        jax.lax.fori_loop(lo, hi, body, 0, unroll=False)
+        for j in range(ogroup):  # static target per sub-loop
+            lo = tile_ptr_ref[base + j]
+            hi = tile_ptr_ref[base + j + 1]
+
+            if unroll <= 1:
+                def body(w, _, j=j):
+                    do_item(w, j)
+                    return 0
+
+                jax.lax.fori_loop(lo, hi, body, 0, unroll=False)
+            else:
+                # manual unroll (fori_loop can't unroll dynamic bounds):
+                # each iteration handles `unroll` items, tail guarded
+                def body(i, _, j=j, lo=lo, hi=hi):
+                    w0 = lo + i * unroll
+                    for u in range(unroll):
+                        @pl.when(w0 + u < hi)
+                        def _(w=w0 + u, j=j):
+                            do_item(w, j)
+                    return 0
+
+                n_iter = (hi - lo + unroll - 1) // unroll
+                jax.lax.fori_loop(0, n_iter, body, 0, unroll=False)
+
+        if acc_scratch:
+            c_ref[...] = acc_ref[...].astype(out_dtype)
 
     return kernel
 
@@ -496,18 +531,32 @@ def _make_cached_kernel(n_items: int, depth: int, ogroup: int, precision):
 @functools.partial(
     jax.jit,
     static_argnames=("n_c_tiles", "a_slots", "b_slots", "depth", "ogroup",
-                     "interpret", "precision"),
+                     "interpret", "precision", "unroll", "out_dtype"),
 )
-def _run_pallas_cached(item_ptr, o_ids, a_packed, b_packed, a_tiles, b_tiles,
+def _run_pallas_cached(tile_ptr, a_packed, b_packed, a_tiles, b_tiles,
                        n_c_tiles: int, a_slots: int, b_slots: int,
                        depth: int = 8, ogroup: int = 8,
-                       interpret: bool = False, precision: str = "default"):
+                       interpret: bool = False, precision: str = "default",
+                       unroll: int = 1, out_dtype=jnp.float32):
+    """``tile_ptr``: int32 [n_groups*ogroup + 1] CSR pointer of each C
+    tile's item range in the o-sorted worklist (padded tiles: lo == hi)."""
     W = a_packed.shape[0]
     tm, tk = a_tiles.shape[1], a_tiles.shape[2]
     tn = b_tiles.shape[2]
     n_groups = -(-n_c_tiles // ogroup)
+    out_dtype = jnp.dtype(out_dtype)
+    scratch = [
+        pltpu.VMEM((a_slots, tm, tk), a_tiles.dtype),
+        pltpu.VMEM((b_slots, tk, tn), b_tiles.dtype),
+        pltpu.SemaphoreType.DMA((a_slots,)),
+        pltpu.SemaphoreType.DMA((b_slots,)),
+    ]
+    if out_dtype != jnp.float32:
+        # f32 group accumulator; the output block only carries the final
+        # down-converted tiles (half the C HBM writeback for bf16)
+        scratch.append(pltpu.VMEM((ogroup, tm, tn), jnp.float32))
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=4,
+        num_scalar_prefetch=3,
         grid=(n_groups,),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.ANY),
@@ -517,19 +566,15 @@ def _run_pallas_cached(item_ptr, o_ids, a_packed, b_packed, a_tiles, b_tiles,
             (ogroup, tm, tn),
             lambda g, *prefetch: (g, 0, 0),
         ),
-        scratch_shapes=[
-            pltpu.VMEM((a_slots, tm, tk), a_tiles.dtype),
-            pltpu.VMEM((b_slots, tk, tn), b_tiles.dtype),
-            pltpu.SemaphoreType.DMA((a_slots,)),
-            pltpu.SemaphoreType.DMA((b_slots,)),
-        ],
+        scratch_shapes=scratch,
     )
     itemsize = jnp.dtype(a_tiles.dtype).itemsize
     out = pl.pallas_call(
-        _make_cached_kernel(W, depth, ogroup, _resolve_precision(precision)),
+        _make_cached_kernel(W, depth, ogroup, _resolve_precision(precision),
+                            unroll=unroll, out_dtype=out_dtype),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct(
-            (n_groups * ogroup, tm, tn), jnp.float32
+            (n_groups * ogroup, tm, tn), out_dtype
         ),
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary",),
@@ -537,11 +582,11 @@ def _run_pallas_cached(item_ptr, o_ids, a_packed, b_packed, a_tiles, b_tiles,
         cost_estimate=pl.CostEstimate(
             flops=2 * W * tm * tk * tn,
             bytes_accessed=W * (tm * tk + tk * tn) * itemsize
-            + n_c_tiles * tm * tn * 4,
+            + n_c_tiles * tm * tn * out_dtype.itemsize,
             transcendentals=0,
         ),
         interpret=interpret,
-    )(item_ptr, o_ids, a_packed, b_packed, a_tiles, b_tiles)
+    )(tile_ptr, a_packed, b_packed, a_tiles, b_tiles)
     return out[:n_c_tiles]
 
 
@@ -656,13 +701,13 @@ def run_worklist_cached(a_tiles, b_tiles, a_ids, b_ids, o_ids,
         b_slots = max(depth + 2, int(b_slots * scale))
     o = np.asarray(o_ids)
     n_groups = -(-n_c_tiles // ogroup)
-    item_ptr = np.searchsorted(
-        o, np.arange(n_groups + 1) * ogroup
+    tile_ptr = np.searchsorted(
+        o, np.arange(n_groups * ogroup + 1)
     ).astype(np.int32)
     a_plan = plan_tile_cache(a_ids, a_slots, depth)
     b_plan = plan_tile_cache(b_ids, b_slots, depth)
     c = _run_pallas_cached(
-        jnp.asarray(item_ptr), jnp.asarray(o_ids),
+        jnp.asarray(tile_ptr),
         jnp.asarray(_pack_plan(a_ids, a_plan)),
         jnp.asarray(_pack_plan(b_ids, b_plan)),
         jnp.asarray(a_tiles), jnp.asarray(b_tiles),

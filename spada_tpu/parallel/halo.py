@@ -1,24 +1,34 @@
-"""Halo-exchange SpGEMM: B stays sharded; needed tiles ride an all-to-all.
+"""Halo-exchange SpGEMM: B stays sharded; needed tiles ride ppermute rings.
 
 The alternative to :mod:`spada_tpu.parallel.spgemm`'s K-sharded psum-merge:
 here the mesh is 1-D (``dp``), A/C are row-panel sharded, and **B is
 k-slab sharded** — no device holds all of B.  Each device's worklist needs B
-tiles owned by other devices, so the tiles are exchanged up front with one
-``jax.lax.all_to_all`` whose per-pair capacity is planned host-side (the
-"ragged all-to-all sized by row-length metadata" of SURVEY.md §5.8 /
-storage.rs b_row_lens, made static-shape by bucketed capacities: every pair
-sends ``cap`` tile slots, short lists padded with a zero tile).
+tiles owned by other devices; they are exchanged over D-1 ``ppermute``
+rounds (offset r: every device ships to its r-th ring neighbour), the
+TPU-native shape of the reference's overlapped memory traffic
+(simulator.rs:604-637 drains DRAM requests *while* PEs compute):
+
+- **Per-offset capacities**: round r's buffer is sized by the largest
+  (src → src+r) transfer only — a single hot pair no longer inflates the
+  whole D×D exchange (round-1's global cap cost D²·max tiles of padding;
+  this costs Σ_r D·max_r).
+- **Overlap**: every ppermute depends only on the *resident* local B tiles,
+  never on compute, and each device's worklist is segmented by source round
+  — local-B items first, then round-1 items, etc.  XLA's latency-hiding
+  scheduler hoists the ICI transfers over the local segment's tile
+  products, so communication hides behind compute instead of serializing
+  in front of it (verified by the weak-scaling eval, tools/eval_scaling.py).
 
 Compared to the psum-merge strategy, communication moves *B tiles* once
-instead of *C partials*; the planner can pick whichever moves fewer bytes —
+instead of *C partials*; the planner picks whichever moves fewer bytes —
 exactly the dataflow-adaptivity idea of the reference, lifted to the
-distributed axis.
+distributed axis (spada_tpu.parallel.partition.choose_strategy).
 """
 
 from __future__ import annotations
 
 import dataclasses
-from typing import Optional, Tuple
+from typing import List, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -35,13 +45,19 @@ from spada_tpu.sparse.csr import CsrMatrix
 class HaloProblem:
     """Static-shape inputs for the halo-exchange strategy.
 
-    Layouts (D = n_dev):
-      b_tiles   f32 [D, Bmax, tk, tn]    local B tiles per owner (k-slabs)
-      send_idx  i32 [D, D, cap]          send_idx[src, dst] = local tile ids
-                                         src ships to dst (Bmax-1 = zero pad)
-      a_tiles   f32 [D, Amax, tm, tk]
-      a_tid/b_tid/o_tid i32 [D, Wmax]    b_tid indexes the RECEIVED buffer
-                                         flattened [D*cap] (+ dump at end)
+    Layouts (D = n_dev; round r ∈ [1, D) ships src → (src+r) % D):
+      b_tiles   f32 [D, Bmax, tk, tn]     local B tiles per owner (k-slabs);
+                                          slot Bmax-1 is a zero pad tile
+      send_idx  list of i32 [D, cap_r]    send_idx[r-1][src] = local tile
+                                          slots src ships in round r
+      a_tiles   f32 [D, Amax, tm, tk]     slot Amax-1 is a zero pad tile
+      a_tid/b_tid/o_tid i32 [D, ΣWseg]    worklists segmented by round:
+                                          items [seg_ptr[r], seg_ptr[r+1])
+                                          use B from round r (0 = local).
+                                          b_tid indexes the local buffer
+                                          (round 0) or the round's receive
+                                          buffer; padded items hit the zero
+                                          tile / the o dump slot nCmax.
       c_tile_row/col i32 [D, nCmax]
     """
 
@@ -49,11 +65,12 @@ class HaloProblem:
     tm: int
     tk: int
     tn: int
-    cap: int
+    caps: List[int]          # caps[r-1] = round-r per-pair tile capacity
+    seg_ptr: List[int]       # length D+1: worklist segment boundaries
     shape: Tuple[int, int]
     a_tiles: np.ndarray
     b_tiles: np.ndarray
-    send_idx: np.ndarray
+    send_idx: List[np.ndarray]
     a_tid: np.ndarray
     b_tid: np.ndarray
     o_tid: np.ndarray
@@ -63,6 +80,7 @@ class HaloProblem:
     n_c_tiles: np.ndarray
     nCmax: int
     halo_tiles_sent: int     # true (unpadded) tiles exchanged
+    halo_tiles_padded: int   # tile slots actually shipped (Σ_r D·cap_r)
 
 
 def partition_halo(
@@ -99,9 +117,8 @@ def partition_halo(
     for d in range(n_dev):
         b_local_slot[local_b[d]] = np.arange(len(local_b[d]))
 
-    # per-device worklists (full B) + needed-tile sets
+    # per-device worklists (global B ids) + per-item source round
     dev_data = []
-    need_sets = []
     for d in range(n_dev):
         r0, r1 = dp_bounds[d], dp_bounds[d + 1]
         a_sel = np.nonzero((a_rows >= r0) & (a_rows < r1))[0]
@@ -118,113 +135,182 @@ def partition_halo(
             key = ti * b_bsr.n_tile_cols + tj
             uniq = np.unique(key)
             o_l = np.searchsorted(uniq, key)
+            rounds = (d - b_owner[b_ids]) % n_dev  # 0 = local
         else:
-            rep = b_ids = o_l = uniq = np.zeros(0, np.int64)
-        dev_data.append((r0, a_sel, rep, b_ids, o_l, uniq))
-        need_sets.append(np.unique(b_ids))
+            rep = b_ids = o_l = uniq = rounds = np.zeros(0, np.int64)
+        dev_data.append((r0, a_sel, rep, b_ids, o_l, uniq, rounds))
 
-    # bucketed capacities: cap = max tiles any (src,dst) pair exchanges
-    send_lists = [[None] * n_dev for _ in range(n_dev)]
-    cap = 1
+    # per-round send lists + per-offset capacities.  Round r: src ships to
+    # dst = (src + r) % D exactly the tiles dst needs from src.
+    send_lists = [[None] * n_dev for _ in range(n_dev)]  # [src][dst]
     total_sent = 0
     for dst in range(n_dev):
-        need = need_sets[dst]
+        b_ids = dev_data[dst][3]
+        need = np.unique(b_ids)
         owners = b_owner[need] if len(need) else np.zeros(0, np.int64)
         for src in range(n_dev):
+            if src == dst:
+                send_lists[src][dst] = np.zeros(0, np.int64)
+                continue
             ids = need[owners == src]
             send_lists[src][dst] = ids
-            cap = max(cap, len(ids))
             total_sent += len(ids)
+    caps = []
+    for r in range(1, n_dev):
+        caps.append(max(
+            (len(send_lists[src][(src + r) % n_dev])
+             for src in range(n_dev)), default=0) or 1)
+
+    # per-device, per-round segment sizes -> shared static segment layout
+    seg_need = np.zeros((n_dev, n_dev), np.int64)  # [device, round]
+    for d in range(n_dev):
+        rounds = dev_data[d][6]
+        if len(rounds):
+            np.add.at(seg_need[d], rounds.astype(np.int64), 1)
+    seg_len = [max(int(seg_need[:, r].max()), 1) for r in range(n_dev)]
+    seg_ptr = [0]
+    for r in range(n_dev):
+        seg_ptr.append(seg_ptr[-1] + seg_len[r])
+    Wtot = seg_ptr[-1]
 
     Amax = max((len(d[1]) for d in dev_data), default=0) + 1
     Bmax = max((len(x) for x in local_b), default=0) + 1
-    Wmax = max((len(d[2]) for d in dev_data), default=0) or 1
     nCmax = max((len(d[5]) for d in dev_data), default=0) or 1
 
     a_tiles = np.zeros((n_dev, Amax, tm, tk), np.float32)
     b_tiles = np.zeros((n_dev, Bmax, tk, tn), np.float32)
-    send_idx = np.full((n_dev, n_dev, cap), Bmax - 1, np.int32)
-    a_tid = np.full((n_dev, Wmax), Amax - 1, np.int32)
-    b_tid = np.full((n_dev, Wmax), n_dev * cap, np.int32)
-    o_tid = np.full((n_dev, Wmax), nCmax, np.int32)
+    send_idx = [np.full((n_dev, caps[r - 1]), Bmax - 1, np.int32)
+                for r in range(1, n_dev)]
+    a_tid = np.full((n_dev, Wtot), Amax - 1, np.int32)
+    # padded local items -> the local zero tile; padded round-r items -> the
+    # receive buffer's appended zero slot (index cap_r)
+    b_tid = np.empty((n_dev, Wtot), np.int32)
+    b_tid[:, : seg_ptr[1]] = Bmax - 1
+    for r in range(1, n_dev):
+        b_tid[:, seg_ptr[r] : seg_ptr[r + 1]] = caps[r - 1]
+    o_tid = np.full((n_dev, Wtot), nCmax, np.int32)
     c_row = np.full((n_dev, nCmax), -1, np.int32)
     c_col = np.full((n_dev, nCmax), -1, np.int32)
     n_c = np.zeros(n_dev, np.int64)
 
-    # recv-slot map: dst receives from src at slots [src*cap, src*cap+cap)
+    # recv-slot map: in round r, dst receives src's list in send order
     recv_slot = {}
-    for dst in range(n_dev):
-        for src in range(n_dev):
-            ids = send_lists[src][dst]
-            for j, t in enumerate(ids):
-                recv_slot[(dst, int(t))] = src * cap + j
+    for src in range(n_dev):
+        for dst in range(n_dev):
+            if src == dst:
+                continue
+            for j, t in enumerate(send_lists[src][dst]):
+                recv_slot[(dst, int(t))] = j
 
     for d in range(n_dev):
         b_tiles[d, : len(local_b[d])] = b_bsr.tiles[local_b[d]]
-        for dst in range(n_dev):
-            ids = send_lists[d][dst]
+        for r in range(1, n_dev):
+            ids = send_lists[d][(d + r) % n_dev]
             if len(ids):
-                send_idx[d, dst, : len(ids)] = b_local_slot[ids]
-        r0, a_sel, rep, b_ids, o_l, uniq = dev_data[d]
+                send_idx[r - 1][d, : len(ids)] = b_local_slot[ids]
+        r0, a_sel, rep, b_ids, o_l, uniq, rounds = dev_data[d]
         a_tiles[d, : len(a_sel)] = a_bsr.tiles[a_sel]
-        W = len(rep)
-        if W:
-            a_tid[d, :W] = rep
-            b_tid[d, :W] = [recv_slot[(d, int(t))] for t in b_ids]
-            o_tid[d, :W] = o_l
+        if len(rep):
+            # stable-sort items by source round, then fill each segment
+            order = np.argsort(rounds, kind="stable")
+            rounds_s = rounds[order]
+            rep_s, b_ids_s, o_s = rep[order], b_ids[order], o_l[order]
+            for r in range(n_dev):
+                mem = np.nonzero(rounds_s == r)[0]
+                if not len(mem):
+                    continue
+                lo = seg_ptr[r]
+                a_tid[d, lo : lo + len(mem)] = rep_s[mem]
+                o_tid[d, lo : lo + len(mem)] = o_s[mem]
+                if r == 0:
+                    b_tid[d, lo : lo + len(mem)] = b_local_slot[b_ids_s[mem]]
+                else:
+                    b_tid[d, lo : lo + len(mem)] = [
+                        recv_slot[(d, int(t))] for t in b_ids_s[mem]
+                    ]
         n_c[d] = len(uniq)
         c_row[d, : len(uniq)] = (uniq // b_bsr.n_tile_cols).astype(np.int32)
         c_col[d, : len(uniq)] = (uniq % b_bsr.n_tile_cols).astype(np.int32)
 
     return HaloProblem(
-        n_dev=n_dev, tm=tm, tk=tk, tn=tn, cap=cap,
+        n_dev=n_dev, tm=tm, tk=tk, tn=tn, caps=caps, seg_ptr=seg_ptr,
         shape=(a.shape[0], b.shape[1]),
         a_tiles=a_tiles, b_tiles=b_tiles, send_idx=send_idx,
         a_tid=a_tid, b_tid=b_tid, o_tid=o_tid,
         c_tile_row=c_row, c_tile_col=c_col,
         row_base=np.array([dp_bounds[d] * tm for d in range(n_dev)], np.int64),
         n_c_tiles=n_c, nCmax=nCmax, halo_tiles_sent=total_sent,
+        halo_tiles_padded=n_dev * int(sum(caps)),
     )
+
+
+def _engine_acc(c, a_tid, b_tid, o_tid, a_tiles, b_tiles, chunk, precision):
+    """Scatter-accumulate one worklist segment into the carried C tiles."""
+    W = a_tid.shape[0]
+    n_chunks = -(-W // chunk) if W else 0
+    for s in range(n_chunks):
+        sl = slice(s * chunk, min((s + 1) * chunk, W))
+        part = jax.lax.dot_general(
+            a_tiles[a_tid[sl]], b_tiles[b_tid[sl]],
+            dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+            precision=precision,
+        )
+        c = c.at[o_tid[sl]].add(part)
+    return c
 
 
 def spgemm_halo(problem: HaloProblem, mesh: Optional[Mesh] = None,
                 chunk: int = 1024,
                 precision=jax.lax.Precision.HIGHEST):
-    """Execute: all-to-all the B-tile halos, then local tile engines."""
-    from spada_tpu.parallel.spgemm import ShardedResult, _local_engine
+    """Execute: ppermute the B-tile halo rounds, overlapped with local work.
+
+    All D-1 permutes are issued before any compute (they depend only on the
+    resident B tiles); the segment-ordered worklist then lets XLA run the
+    local segment while the ICI transfers are in flight.
+    """
+    from spada_tpu.parallel.spgemm import ShardedResult
 
     p = problem
+    D = p.n_dev
     if mesh is None:
-        devs = np.array(jax.devices()[: p.n_dev])
+        devs = np.array(jax.devices()[:D])
         mesh = Mesh(devs, ("dp",))
 
-    def per_shard(a_tid, b_tid, o_tid, a_tiles, b_tiles, send_idx):
-        # gather my outgoing tiles: [D, cap, tk, tn]
-        out = b_tiles[0][send_idx[0]]
-        # exchange: recv[src, slot] = what src sent me
-        recv = jax.lax.all_to_all(
-            out[None], "dp", split_axis=1, concat_axis=0, tiled=False
-        )
-        # recv: [D, 1, cap, tk, tn] -> flatten to [D*cap(+1 dump), tk, tn]
-        recv = recv.reshape(-1, p.tk, p.tn)
-        zero = jnp.zeros((1, p.tk, p.tn), recv.dtype)
-        recv = jnp.concatenate([recv, zero], axis=0)
-        c = _local_engine(
-            a_tid[0], b_tid[0], o_tid[0], a_tiles[0], recv,
-            n_c_tiles=p.nCmax, chunk=chunk, precision=precision,
-        )
+    def per_shard(a_tid, b_tid, o_tid, a_tiles, b_tiles, *send_idx):
+        a_tid, b_tid, o_tid = a_tid[0], b_tid[0], o_tid[0]
+        at, bl = a_tiles[0], b_tiles[0]
+        # issue every round's ppermute up front — no compute dependency
+        recvs = []
+        for r in range(1, D):
+            out = bl[send_idx[r - 1][0]]
+            recv = jax.lax.ppermute(
+                out, "dp", [(s, (s + r) % D) for s in range(D)]
+            )
+            recvs.append(recv)
+        zero = jnp.zeros((1, p.tk, p.tn), bl.dtype)
+        c = jnp.zeros((p.nCmax + 1, p.tm, p.tn), jnp.float32)
+        # local segment first: overlaps with the in-flight transfers
+        s0, s1 = p.seg_ptr[0], p.seg_ptr[1]
+        c = _engine_acc(c, a_tid[s0:s1], b_tid[s0:s1], o_tid[s0:s1],
+                        at, bl, chunk, precision)
+        for r in range(1, D):
+            lo, hi = p.seg_ptr[r], p.seg_ptr[r + 1]
+            buf = jnp.concatenate([recvs[r - 1], zero], axis=0)
+            c = _engine_acc(c, a_tid[lo:hi], b_tid[lo:hi], o_tid[lo:hi],
+                            at, buf, chunk, precision)
         return c[None]
 
     fn = jax.shard_map(
         per_shard,
         mesh=mesh,
-        in_specs=(P("dp"), P("dp"), P("dp"), P("dp"), P("dp"), P("dp")),
+        in_specs=(P("dp"),) * 5 + (P("dp"),) * (D - 1),
         out_specs=P("dp"),
     )
     c = jax.jit(fn)(
         jnp.asarray(p.a_tid), jnp.asarray(p.b_tid), jnp.asarray(p.o_tid),
         jnp.asarray(p.a_tiles), jnp.asarray(p.b_tiles),
-        jnp.asarray(p.send_idx),
+        *[jnp.asarray(s) for s in p.send_idx],
     )
 
     # adapt to ShardedResult's (n_dp, nCmax+1, ...) surface: fake tp dim
@@ -232,7 +318,7 @@ def spgemm_halo(problem: HaloProblem, mesh: Optional[Mesh] = None,
         pass
 
     prob = _P()
-    prob.n_dp, prob.n_tp = p.n_dev, 1
+    prob.n_dp, prob.n_tp = D, 1
     prob.tm, prob.tk, prob.tn = p.tm, p.tk, p.tn
     prob.shape = p.shape
     prob.c_tile_row, prob.c_tile_col = p.c_tile_row, p.c_tile_col

@@ -227,7 +227,9 @@ def choose_parallel_strategy(
     tk, tn = config.tile_k, config.tile_n
 
     halo = partition_halo(a, b, n_dev, config, tm=tm)
-    halo_bytes = halo.halo_tiles_sent * tk * tn * 4
+    # padded slots are what actually ride the ICI (per-offset ppermute
+    # capacities keep padding near the true count, unlike a global cap)
+    halo_bytes = halo.halo_tiles_padded * tk * tn * 4
 
     n_tp = 2 if n_dev % 2 == 0 else 1
     n_dp = n_dev // n_tp

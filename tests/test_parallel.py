@@ -111,9 +111,15 @@ def test_halo_counts_traffic():
     a = random_csr(200, 200, 0.05, seed=15)
     b = random_csr(200, 200, 0.05, seed=16)
     prob = partition_halo(a, b, 4, tm=32)
-    # every needed remote tile is sent exactly once
+    # every needed remote tile is sent exactly once; per-offset ppermute
+    # capacities keep the shipped (padded) slots close to the true count
     assert prob.halo_tiles_sent > 0
-    assert prob.cap * 4 * 4 >= prob.halo_tiles_sent
+    assert prob.halo_tiles_padded >= prob.halo_tiles_sent
+    assert prob.halo_tiles_padded == prob.n_dev * sum(prob.caps)
+    # the old global-cap all-to-all shipped D*D*max_pair slots; the
+    # per-offset scheme must never be worse
+    old_global = prob.n_dev * prob.n_dev * max(prob.caps)
+    assert prob.halo_tiles_padded <= old_global
 
 
 def test_choose_parallel_strategy():
