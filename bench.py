@@ -102,7 +102,10 @@ def main() -> int:
     n, band = (65536, 384) if on_tpu else (8192, 96)
     a = banded_csr(n, n, bandwidth=band, seed=0, dtype=np.float32)
     b = banded_csr(n, n, bandwidth=band, seed=1, dtype=np.float32)
-    tm = tk = tn = 256 if on_tpu else 128
+    # T=384 is what choose_tile_size picks here (band-aligned tiles: W/nC
+    # -> ~1.8, and the dominant per-item cost — f32 VMEM accumulate — is
+    # paid near-once per C tile); measured 1.93 ms vs 3.13 ms at T=256.
+    tm = tk = tn = 384 if on_tpu else 128
     a_bsr = BsrMatrix.from_csr(a, tm, tk, dtype=np.float32)
     b_bsr = BsrMatrix.from_csr(b, tk, tn, dtype=np.float32)
     wl = build_worklist(a_bsr, b_bsr, order="row")
@@ -121,7 +124,11 @@ def main() -> int:
         from spada_tpu.ops.cacheplan import plan_tile_cache
         from spada_tpu.ops.engine import _pack_plan, _run_pallas_cached
 
-        a_slots, b_slots, depth, ogroup = 12, 24, 8, 8
+        # swept optimum at T=384 (tools/sweep_cached.py): small slot caches
+        # (the Belady plan needs few slots when reuse is band-local), ogroup
+        # 6 to amortize the ~1.8us grid step, bf16 C writeback (halves the
+        # dominant C HBM bytes; f32 accuracy kept by the f32 accumulators)
+        a_slots, b_slots, depth, ogroup = 6, 10, 4, 6
         a_plan = plan_tile_cache(wl.a_tid, a_slots, depth)
         b_plan = plan_tile_cache(wl.b_tid, b_slots, depth)
         apk = jnp.asarray(_pack_plan(wl.a_tid, a_plan))
@@ -137,6 +144,7 @@ def main() -> int:
                 tile_ptr, apk, bpk, at, bt, n_c_tiles=nC,
                 a_slots=a_slots, b_slots=b_slots, depth=depth, ogroup=ogroup,
                 interpret=False, precision="default",
+                out_dtype=jnp.bfloat16,
             )
     else:
         chunk = 2048
@@ -193,7 +201,7 @@ def main() -> int:
     elapsed = device_time(engine, (at, bt), k=16, trials=5, roundtrip=rt)
 
     # ---- speed-of-light: naive streaming + Belady unique-byte bounds ----
-    c_bytes = nC * tm * tn * 4
+    c_bytes = nC * tm * tn * (2 if on_tpu else 4)  # bf16 C on TPU
     bytes_naive = W * (tm * tk + tk * tn) * isz + c_bytes
     mxu_flops = 2 * W * tm * tk * tn
     t_sol = max(bytes_naive / config.hbm_bytes_per_s,
@@ -228,7 +236,9 @@ def main() -> int:
             "hbm_gb_belady": round(bytes_belady / 1e9, 3),
             "perf_engine_relerr": round(perf_relerr, 6),
             "roundtrip_ms": round(rt * 1e3, 1),
-            "n": n, "work_items": int(W), "c_tiles": int(nC),
+            "n": n, "tile": tm, "work_items": int(W), "c_tiles": int(nC),
+            "mxu_floor_ms": round(mxu_flops / config.peak_flops_bf16 * 1e3,
+                                  3),
             "effective_gflops": round(mxu_flops / elapsed / 1e9, 1),
             "irregular": irr,
         },

@@ -76,7 +76,8 @@ class SpadaConfig:
     # measured per-work-item kernel overhead by tile edge (v5e, cached
     # engine) — the planner's tile-size cost model input
     engine_item_overhead_s: dict = dataclasses.field(
-        default_factory=lambda: {128: 0.15e-6, 256: 0.45e-6}
+        default_factory=lambda: {128: 0.15e-6, 256: 0.49e-6,
+                                 384: 1.26e-6, 512: 2.49e-6}
     )
 
     # ---- HBM roofline constants of the target chip (v5e defaults) ----

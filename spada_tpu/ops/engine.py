@@ -421,26 +421,47 @@ def run_worklist_streaming(a_tiles, b_tiles, a_ids, b_ids, o_ids,
 # engine below the naive per-item streaming bound toward the unique-tile
 # minimum.
 
-def _make_cached_kernel(n_items: int, depth: int, ogroup: int, precision,
-                        unroll: int = 1, out_dtype=jnp.float32):
-    # Grid step = OGROUP consecutive C tiles (amortizes the ~0.7us grid-step
+def _make_cached_kernel(n_items: int, n_groups: int, depth: int, ogroup: int,
+                        precision, out_dtype=jnp.float32, nbuf: int = 2,
+                        uitems: int = 1, a_zslot: int = 0, b_zslot: int = 0):
+    # Grid step = OGROUP consecutive C tiles (amortizes the ~1.8us grid-step
     # overhead); per-item scalar state packed into one int32 per operand
     # (6 separate arrays overflow SMEM at large W):
     #   packed = (tile_id << 9) | (slot << 1) | load
     # The group runs one STATIC sub-loop per C tile, so the accumulate
-    # target `acc_ref[j]` is compile-time fixed — a dynamic output index
-    # (`c_ref[o_ids[w] - base]`) forced Mosaic through a slow
-    # copy-in/copy-out path on every item (~550 ns/item vs ~330 with the
-    # static target; measured in tools/sweep_cached.py).  o_ids never
-    # enters the kernel at all: the tile-granular item_ptr carries the
-    # whole output schedule, and SMEM holds one fewer W-sized array.
-    # With a non-f32 out_dtype the group's tiles accumulate in an f32 VMEM
-    # scratch and down-convert once per group (bf16 HBM writeback at f32
-    # accuracy); with f32 out the output block itself is the accumulator.
+    # target `acc[j]` is compile-time fixed.  o_ids never enters the
+    # kernel: the tile-granular tile_ptr carries the whole output schedule.
+    #
+    # Output path (probe-driven design, tools/probe_kernel.py +
+    # tools/probe_manual.py on the v5e):
+    #   * NOT a windowed output block — the windowed path moved every 2MB
+    #     group window HBM->VMEM->HBM serially (copy-in of data the kernel
+    #     fully overwrites + unoverlapped copy-out = 1.7ms of 3.46ms).
+    #   * NO memset — a 2MB VMEM zero costs 2.9us/group (0.8ms total, 5x
+    #     the theoretical VPU rate).  Each C tile's FIRST item stores the
+    #     dot product; later items accumulate.  Real C tiles always have
+    #     >= 1 item, so only sliced-off padding tiles carry stale data.
+    #   * The group accumulates in one of NBUF rotating f32 buffers
+    #     (pl.when on g % nbuf keeps every ref compile-time static) and is
+    #     flushed with a manual async copy, reclaimed nbuf steps later.
+    #     f32 output DMAs straight from the accumulator; a narrower
+    #     out_dtype converts into a per-buffer stage first (bf16 C halves
+    #     the writeback bytes, which matters because VMEM->HBM DMA writes
+    #     cap at ~350 GB/s on this chip — measured, not nominal).
+    #
+    # Item pipelining: with uitems=U > 1 the worklist is plan-time padded so
+    # every run's length past the first item is a multiple of U (dummy items
+    # dot two reserved all-zero cache slots — numerically exact).  The inner
+    # loop body then executes U items STRAIGHT-LINE with no per-item guards,
+    # giving Mosaic a basic block where item i+1's scalar work (SMEM reads,
+    # slice addressing) schedules under item i's MXU op.  With U=1 the
+    # per-item dependence chain scalar->MXU->VPU serializes at ~470 ns/item
+    # against a 170 ns MXU floor (tools/probe_manual.py v2dots).
     def kernel(tile_ptr_ref, a_pk_ref, b_pk_ref,
-               a_hbm, b_hbm, c_ref, acache, bcache, asem, bsem,
-               *acc_scratch):
-        acc_ref = acc_scratch[0] if acc_scratch else c_ref
+               a_hbm, b_hbm, c_hbm, acache, bcache, asem, bsem, *obufs):
+        csem = obufs[-1]
+        accs = obufs[:nbuf]
+        stages = obufs[nbuf:-1]  # empty for f32 output
         g = pl.program_id(0)
         base = g * ogroup
 
@@ -465,14 +486,17 @@ def _make_cached_kernel(n_items: int, depth: int, ogroup: int, precision,
 
         @pl.when(g == 0)
         def _warmup():
+            if uitems > 1:
+                # dummy padding items dot these two reserved slots
+                acache[a_zslot] = jnp.zeros_like(acache[a_zslot])
+                bcache[b_zslot] = jnp.zeros_like(bcache[b_zslot])
             for w in range(depth):
                 @pl.when(w < n_items)
                 def _():
                     start_loads(w)
 
-        acc_ref[...] = jnp.zeros_like(acc_ref)
-
-        def do_item(w, j):
+        def prep_item(w):
+            """Prefetch + waits for item w; returns its cache slots."""
             @pl.when(w + depth < n_items)
             def _():
                 start_loads(w + depth)
@@ -491,70 +515,158 @@ def _make_cached_kernel(n_items: int, depth: int, ogroup: int, precision,
                     b_hbm.at[b_tid], bcache.at[sb], bsem.at[sb]
                 ).wait()
 
-            acc_ref[j] += jax.lax.dot_general(
+            return sa, sb
+
+        def dot_slots(sa, sb):
+            return jax.lax.dot_general(
                 acache[sa], bcache[sb],
                 dimension_numbers=(((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32,
                 precision=precision,
             )
 
-        for j in range(ogroup):  # static target per sub-loop
-            lo = tile_ptr_ref[base + j]
-            hi = tile_ptr_ref[base + j + 1]
-
-            if unroll <= 1:
-                def body(w, _, j=j):
-                    do_item(w, j)
-                    return 0
-
-                jax.lax.fori_loop(lo, hi, body, 0, unroll=False)
+        def do_item(w, j, acc, store):
+            sa, sb = prep_item(w)
+            d = dot_slots(sa, sb)
+            if store:
+                acc[j] = d
             else:
-                # manual unroll (fori_loop can't unroll dynamic bounds):
-                # each iteration handles `unroll` items, tail guarded
-                def body(i, _, j=j, lo=lo, hi=hi):
-                    w0 = lo + i * unroll
-                    for u in range(unroll):
-                        @pl.when(w0 + u < hi)
-                        def _(w=w0 + u, j=j):
-                            do_item(w, j)
-                    return 0
+                acc[j] += d
 
-                n_iter = (hi - lo + unroll - 1) // unroll
-                jax.lax.fori_loop(0, n_iter, body, 0, unroll=False)
+        def group(acc, stage, sem):
+            src = stage if stage is not None else acc
+            # reclaim this buffer: wait its copy-out from nbuf steps ago
+            @pl.when(g >= nbuf)
+            def _():
+                pltpu.make_async_copy(
+                    src, c_hbm.at[pl.ds((g - nbuf) * ogroup, ogroup)], sem
+                ).wait()
+            lg = max(uitems - 1, 0).bit_length()  # log2(uitems)
+            for j in range(ogroup):
+                lo = tile_ptr_ref[base + j]
+                hi = tile_ptr_ref[base + j + 1]
 
-        if acc_scratch:
-            c_ref[...] = acc_ref[...].astype(out_dtype)
+                @pl.when(hi > lo)
+                def _(lo=lo, j=j):
+                    do_item(lo, j, acc, store=True)
+
+                if uitems <= 1:
+                    def body(w, _, j=j):
+                        do_item(w, j, acc, store=False)
+                        return 0
+
+                    jax.lax.fori_loop(lo + 1, hi, body, 0, unroll=False)
+                else:
+                    # the tail past the first item is plan-time padded to a
+                    # multiple of uitems: U items run guard-free — waits
+                    # first, then the U independent MXU ops whose results
+                    # reduce once into acc[j]
+                    def body(p, _, j=j, lo=lo):
+                        w0 = lo + 1 + (p << lg)
+                        slots = [prep_item(w0 + u) for u in range(uitems)]
+                        d = dot_slots(*slots[0])
+                        for u in range(1, uitems):
+                            d += dot_slots(*slots[u])
+                        acc[j] += d
+                        return 0
+
+                    jax.lax.fori_loop(
+                        0, (hi - lo - 1) >> lg, body, 0, unroll=False
+                    )
+            if stage is not None:
+                stage[...] = acc[...].astype(out_dtype)
+            pltpu.make_async_copy(
+                src, c_hbm.at[pl.ds(base, ogroup)], sem
+            ).start()
+
+        for pp in range(nbuf):
+            @pl.when(g % nbuf == pp)
+            def _(pp=pp):
+                group(accs[pp], stages[pp] if stages else None,
+                      csem.at[pp])
+
+        @pl.when(g == n_groups - 1)
+        def _drain():
+            # copies issued at steps g, g-1, ..., g-nbuf+1 have no later
+            # step to reclaim them
+            for pp in range(nbuf):
+                @pl.when(g % nbuf == pp)
+                def _(pp=pp):
+                    for back in range(nbuf):
+                        bi = (pp - back) % nbuf
+                        src = stages[bi] if stages else accs[bi]
+
+                        @pl.when(g - back >= 0)
+                        def _(back=back, bi=bi, src=src):
+                            pltpu.make_async_copy(
+                                src,
+                                c_hbm.at[pl.ds((g - back) * ogroup,
+                                               ogroup)],
+                                csem.at[bi],
+                            ).wait()
 
     return kernel
+
+
+def _pad_worklist(o_ids, a_packed, b_packed, n_c_tiles: int, uitems: int,
+                  a_zslot: int, b_zslot: int):
+    """Pad each o-run's tail (past the first item) to a multiple of
+    ``uitems`` with dummy items that dot the reserved all-zero cache slots
+    (numerically exact: 0 @ 0 accumulates 0).  Returns the padded per-tile
+    item pointer [n_c_tiles + 1] and the padded packed plan arrays."""
+    o = np.asarray(o_ids, dtype=np.int64)
+    counts = np.bincount(o, minlength=n_c_tiles).astype(np.int64)
+    tail = np.maximum(counts - 1, 0)
+    new_counts = counts + (-tail) % uitems
+    old_ptr = np.zeros(n_c_tiles + 1, np.int64)
+    old_ptr[1:] = np.cumsum(counts)
+    new_ptr = np.zeros(n_c_tiles + 1, np.int64)
+    new_ptr[1:] = np.cumsum(new_counts)
+    apk = np.full(int(new_ptr[-1]), np.int32(a_zslot << 1), np.int32)
+    bpk = np.full(int(new_ptr[-1]), np.int32(b_zslot << 1), np.int32)
+    pos = (np.arange(len(o)) - np.repeat(old_ptr[:-1], counts)
+           + np.repeat(new_ptr[:-1], counts))
+    apk[pos] = a_packed
+    bpk[pos] = b_packed
+    return new_ptr, apk, bpk
 
 
 @functools.partial(
     jax.jit,
     static_argnames=("n_c_tiles", "a_slots", "b_slots", "depth", "ogroup",
-                     "interpret", "precision", "unroll", "out_dtype"),
+                     "interpret", "precision", "out_dtype", "nbuf",
+                     "uitems"),
 )
 def _run_pallas_cached(tile_ptr, a_packed, b_packed, a_tiles, b_tiles,
                        n_c_tiles: int, a_slots: int, b_slots: int,
                        depth: int = 8, ogroup: int = 8,
                        interpret: bool = False, precision: str = "default",
-                       unroll: int = 1, out_dtype=jnp.float32):
+                       out_dtype=jnp.float32, nbuf: int = 2,
+                       uitems: int = 1):
     """``tile_ptr``: int32 [n_groups*ogroup + 1] CSR pointer of each C
-    tile's item range in the o-sorted worklist (padded tiles: lo == hi)."""
+    tile's item range in the o-sorted worklist (padded tiles: lo == hi).
+    With ``uitems`` > 1 the caller must have padded the worklist with
+    :func:`_pad_worklist` (zero slots = index a_slots / b_slots)."""
+    assert uitems & (uitems - 1) == 0, "uitems must be a power of two"
     W = a_packed.shape[0]
     tm, tk = a_tiles.shape[1], a_tiles.shape[2]
     tn = b_tiles.shape[2]
     n_groups = -(-n_c_tiles // ogroup)
     out_dtype = jnp.dtype(out_dtype)
+    xtra = 1 if uitems > 1 else 0  # reserved zero slot per cache
     scratch = [
-        pltpu.VMEM((a_slots, tm, tk), a_tiles.dtype),
-        pltpu.VMEM((b_slots, tk, tn), b_tiles.dtype),
+        pltpu.VMEM((a_slots + xtra, tm, tk), a_tiles.dtype),
+        pltpu.VMEM((b_slots + xtra, tk, tn), b_tiles.dtype),
         pltpu.SemaphoreType.DMA((a_slots,)),
         pltpu.SemaphoreType.DMA((b_slots,)),
     ]
+    # nbuf rotating group accumulators (+ narrow stages for non-f32 out)
+    scratch += [pltpu.VMEM((ogroup, tm, tn), jnp.float32)
+                for _ in range(nbuf)]
     if out_dtype != jnp.float32:
-        # f32 group accumulator; the output block only carries the final
-        # down-converted tiles (half the C HBM writeback for bf16)
-        scratch.append(pltpu.VMEM((ogroup, tm, tn), jnp.float32))
+        scratch += [pltpu.VMEM((ogroup, tm, tn), out_dtype)
+                    for _ in range(nbuf)]
+    scratch.append(pltpu.SemaphoreType.DMA((nbuf,)))
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=3,
         grid=(n_groups,),
@@ -562,16 +674,15 @@ def _run_pallas_cached(tile_ptr, a_packed, b_packed, a_tiles, b_tiles,
             pl.BlockSpec(memory_space=pltpu.ANY),
             pl.BlockSpec(memory_space=pltpu.ANY),
         ],
-        out_specs=pl.BlockSpec(
-            (ogroup, tm, tn),
-            lambda g, *prefetch: (g, 0, 0),
-        ),
+        out_specs=pl.BlockSpec(memory_space=pltpu.ANY),
         scratch_shapes=scratch,
     )
     itemsize = jnp.dtype(a_tiles.dtype).itemsize
     out = pl.pallas_call(
-        _make_cached_kernel(W, depth, ogroup, _resolve_precision(precision),
-                            unroll=unroll, out_dtype=out_dtype),
+        _make_cached_kernel(W, n_groups, depth, ogroup,
+                            _resolve_precision(precision),
+                            out_dtype=out_dtype, nbuf=nbuf, uitems=uitems,
+                            a_zslot=a_slots, b_zslot=b_slots),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct(
             (n_groups * ogroup, tm, tn), out_dtype
@@ -586,6 +697,7 @@ def _run_pallas_cached(tile_ptr, a_packed, b_packed, a_tiles, b_tiles,
             transcendentals=0,
         ),
         interpret=interpret,
+        name="spada_cached",
     )(tile_ptr, a_packed, b_packed, a_tiles, b_tiles)
     return out[:n_c_tiles]
 
@@ -631,7 +743,7 @@ def run_worklist_cached(a_tiles, b_tiles, a_ids, b_ids, o_ids,
                         n_c_tiles: int, a_slots: int = 16, b_slots: int = 48,
                         depth: int = 8, ogroup: int = 8,
                         interpret: Optional[bool] = None,
-                        precision: str = "default"):
+                        precision: str = "default", uitems: int = 1):
     """VMEM-cached engine; returns (c_tiles, a_plan, b_plan)."""
     from spada_tpu.ops.cacheplan import plan_tile_cache
 
@@ -656,7 +768,7 @@ def run_worklist_cached(a_tiles, b_tiles, a_ids, b_ids, o_ids,
                         np.zeros(c_hi - c_lo, np.int32), 1,
                         a_slots=a_slots, b_slots=b_slots, depth=depth,
                         ogroup=ogroup, interpret=interpret,
-                        precision=precision,
+                        precision=precision, uitems=uitems,
                     )
                     acc = c if acc is None else acc + c
                     a_plans.append(ap)
@@ -668,6 +780,7 @@ def run_worklist_cached(a_tiles, b_tiles, a_ids, b_ids, o_ids,
                 np.asarray(o_ids[w_lo:w_hi]) - o_lo, o_hi - o_lo,
                 a_slots=a_slots, b_slots=b_slots, depth=depth,
                 ogroup=ogroup, interpret=interpret, precision=precision,
+                uitems=uitems,
             )
             outs.append(c)
             a_plans.append(ap)
@@ -685,15 +798,17 @@ def run_worklist_cached(a_tiles, b_tiles, a_ids, b_ids, o_ids,
             np.concatenate([p.load for p in b_plans]),
             b_slots, sum(p.n_loads for p in b_plans))
         return jnp.concatenate(outs, axis=0), agg_a, agg_b
-    # the packed int32 encoding carries 8 slot bits (see _pack_plan)
-    a_slots = min(a_slots, 256)
-    b_slots = min(b_slots, 256)
-    # fit the caches + output block in VMEM (16MB/core): shrink slot counts
-    # proportionally if the configured sizes would overflow
+    # the packed int32 encoding carries 8 slot bits (see _pack_plan); one
+    # index is reserved for the zero slot when item pairing is on
+    cap = 255 if uitems > 1 else 256
+    a_slots = min(a_slots, cap)
+    b_slots = min(b_slots, cap)
+    # fit the caches + rotating accumulators in VMEM (16MB/core): shrink
+    # slot counts proportionally if the configured sizes would overflow
     tm, tk = a_tiles.shape[1], a_tiles.shape[2]
     tn = b_tiles.shape[2]
     isz = np.dtype(a_tiles.dtype).itemsize
-    budget = 12 * 1024 * 1024 - ogroup * tm * tn * 4
+    budget = 12 * 1024 * 1024 - 2 * ogroup * tm * tn * 4  # nbuf=2 accs
     need = (a_slots * tm * tk + b_slots * tk * tn) * isz
     if need > budget:
         scale = budget / need
@@ -701,17 +816,28 @@ def run_worklist_cached(a_tiles, b_tiles, a_ids, b_ids, o_ids,
         b_slots = max(depth + 2, int(b_slots * scale))
     o = np.asarray(o_ids)
     n_groups = -(-n_c_tiles // ogroup)
-    tile_ptr = np.searchsorted(
-        o, np.arange(n_groups * ogroup + 1)
-    ).astype(np.int32)
-    a_plan = plan_tile_cache(a_ids, a_slots, depth)
-    b_plan = plan_tile_cache(b_ids, b_slots, depth)
+    # with item pairing, a U-block's prefetches are all issued before the
+    # block's dots read their slots — widen the plan's no-reuse margin so a
+    # load can never overwrite a slot still unread within the block
+    plan_depth = depth + (uitems - 1 if uitems > 1 else 0)
+    a_plan = plan_tile_cache(a_ids, a_slots, plan_depth)
+    b_plan = plan_tile_cache(b_ids, b_slots, plan_depth)
+    apk = _pack_plan(a_ids, a_plan)
+    bpk = _pack_plan(b_ids, b_plan)
+    if uitems > 1:
+        tile_ptr_t, apk, bpk = _pad_worklist(
+            o, apk, bpk, n_c_tiles, uitems, a_slots, b_slots)
+        tile_ptr = np.full(n_groups * ogroup + 1, tile_ptr_t[-1], np.int32)
+        tile_ptr[: n_c_tiles + 1] = tile_ptr_t
+    else:
+        tile_ptr = np.searchsorted(
+            o, np.arange(n_groups * ogroup + 1)
+        ).astype(np.int32)
     c = _run_pallas_cached(
-        jnp.asarray(tile_ptr),
-        jnp.asarray(_pack_plan(a_ids, a_plan)),
-        jnp.asarray(_pack_plan(b_ids, b_plan)),
+        jnp.asarray(tile_ptr), jnp.asarray(apk), jnp.asarray(bpk),
         jnp.asarray(a_tiles), jnp.asarray(b_tiles),
         n_c_tiles=n_c_tiles, a_slots=a_slots, b_slots=b_slots, depth=depth,
         ogroup=ogroup, interpret=bool(interpret), precision=precision,
+        uitems=uitems,
     )
     return c, a_plan, b_plan

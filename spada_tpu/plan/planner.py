@@ -309,15 +309,18 @@ def choose_tile_size(
     a: CsrMatrix,
     b: CsrMatrix,
     config: Optional[SpadaConfig] = None,
-    candidates=(128, 256),
+    candidates=(128, 256, 384, 512),
 ):
     """Pick the MXU tile edge T for this matrix pair.
 
     The reference adapts block shapes to sparsity structure cycle-by-cycle;
     on TPU the equivalent matrix-level decision is the tile granularity:
     bigger tiles amortize the measured per-work-item overhead (~0.15us at
-    T=128, ~0.45us at T=256 on v5e) but pay padding bytes/FLOPs on sparse
-    structure.  Evaluated with the same closed-form byte/overhead model the
+    T=128, ~0.49us at T=256, ~1.26us at T=384 on v5e) but pay padding
+    bytes/FLOPs on sparse structure.  On band-aligned structure T=384 wins
+    decisively (1.93 ms vs 3.13 ms at T=256 on the bench workload) because
+    items-per-C-tile drops toward 1 and the f32 VMEM accumulate traffic
+    (the dominant per-item cost) is paid once per output tile.  Evaluated with the same closed-form byte/overhead model the
     panel planner uses:
 
         t(T) = max(bytes(T) / BW,  W(T) * t_item(T),  2 W(T) T^3 / peak)

@@ -1,7 +1,7 @@
 """Config sweep for the VMEM-cached kernel on the bench workload (real TPU).
 
 Usage: python tools/sweep_cached.py [config-spec ...]
-  config-spec: a_slots,b_slots,depth,ogroup,unroll,out   e.g. 12,24,8,8,1,f32
+  config-spec: a_slots,b_slots,depth,ogroup,nbuf,out   e.g. 12,24,8,8,2,f32
 Defaults to a spread around the shipped config.  Prints steady ms per config
 plus the Belady/naive SoL bounds for reference.
 """
@@ -31,7 +31,8 @@ def main():
 
     config = SpadaConfig()
     n, band = 65536, 384
-    tm = tk = tn = 256
+    tm = tk = tn = int(os.environ.get("SWEEP_T", "256"))
+    tk = int(os.environ.get("SWEEP_TK", str(tk)))
     a = banded_csr(n, n, bandwidth=band, seed=0, dtype=np.float32)
     b = banded_csr(n, n, bandwidth=band, seed=1, dtype=np.float32)
     a_bsr = BsrMatrix.from_csr(a, tm, tk, dtype=np.float32)
@@ -58,25 +59,38 @@ def main():
     results = []
     for spec in specs:
         parts = spec.split(",")
-        a_slots, b_slots, depth, ogroup, unroll = map(int, parts[:5])
+        a_slots, b_slots, depth, ogroup, nbuf = map(int, parts[:5])
         out_dtype = (jnp.bfloat16 if len(parts) > 5 and parts[5] == "bf16"
                      else jnp.float32)
+        uitems = int(parts[6]) if len(parts) > 6 else 1
         a_plan = plan_tile_cache(wl.a_tid, a_slots, depth)
         b_plan = plan_tile_cache(wl.b_tid, b_slots, depth)
-        apk = jnp.asarray(_pack_plan(wl.a_tid, a_plan))
-        bpk = jnp.asarray(_pack_plan(wl.b_tid, b_plan))
+        apk = _pack_plan(wl.a_tid, a_plan)
+        bpk = _pack_plan(wl.b_tid, b_plan)
         n_groups = -(-nC // ogroup)
-        tile_ptr = jnp.asarray(
-            np.searchsorted(np.asarray(wl.o_tid),
-                            np.arange(n_groups * ogroup + 1)).astype(np.int32)
-        )
+        if uitems > 1:
+            from spada_tpu.ops.engine import _pad_worklist
+
+            tp, apk, bpk = _pad_worklist(
+                np.asarray(wl.o_tid), apk, bpk, nC, uitems,
+                a_slots, b_slots)
+            tile_ptr = np.full(n_groups * ogroup + 1, tp[-1], np.int32)
+            tile_ptr[: nC + 1] = tp
+            tile_ptr = jnp.asarray(tile_ptr)
+        else:
+            tile_ptr = jnp.asarray(
+                np.searchsorted(
+                    np.asarray(wl.o_tid),
+                    np.arange(n_groups * ogroup + 1)).astype(np.int32)
+            )
+        apk, bpk = jnp.asarray(apk), jnp.asarray(bpk)
 
         def engine(at, bt):
             return _run_pallas_cached(
                 tile_ptr, apk, bpk, at, bt, n_c_tiles=nC,
                 a_slots=a_slots, b_slots=b_slots, depth=depth, ogroup=ogroup,
-                interpret=False, precision="default", unroll=unroll,
-                out_dtype=out_dtype,
+                interpret=False, precision="default", nbuf=nbuf,
+                out_dtype=out_dtype, uitems=uitems,
             )
 
         c_bytes = nC * tm * tn * jnp.dtype(out_dtype).itemsize
