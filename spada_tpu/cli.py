@@ -60,6 +60,11 @@ def build_parser() -> argparse.ArgumentParser:
                    help="tile dtype override (bfloat16 implies fast MXU)")
     p.add_argument("--fast", action="store_true",
                    help="throughput profile: bf16 tiles + adaptive tile size")
+    p.add_argument("--plan-scheme", default="analytic",
+                   choices=["analytic", "profiled"],
+                   help="spada panel planner: closed-form byte model or "
+                        "measured kernel latency (rowwise_perf_adjust.rs "
+                        "scheme-3 signal)")
     return p
 
 
@@ -67,6 +72,16 @@ def load_workload(args, config: SpadaConfig) -> GemmWorkload:
     if args.category.upper() == "SS":
         w = GemmWorkload.from_suitesparse(config.ss_filepath, args.workload)
     else:
+        import os
+
+        if not os.path.exists(config.nn_filepath):
+            # the reference ships no NN pickle (py2rust.rs:5-60 just reads
+            # one); generate the stock pruned-layer GEMMs on first use so
+            # `run spada NN <layer>` works out of the box
+            from spada_tpu.models.nn_workloads import write_nn_pickle
+
+            print(f"generating NN workloads -> {config.nn_filepath}")
+            write_nn_pickle(config.nn_filepath)
         w = load_pickled_gemms(config.nn_filepath, args.workload)
     if args.preprocess:
         w = w.preprocess_sorted()
@@ -123,9 +138,22 @@ def cmd_run(args, config: SpadaConfig, w: GemmWorkload) -> int:
             f"{k}: {v['t_est'] * 1e3:.2f}ms" for k, v in t_det.items()
         )
         print(f"tile size: {t_best}  (model: {ests})")
-        plan = plan_spgemm(w.a, w.b, config)
-        print(f"plan: {len(plan.panels)} panels, tm histogram "
-              f"{plan.tm_histogram()}")
+        measure = None
+        if args.plan_scheme == "profiled":
+            from spada_tpu.plan.planner import make_profiled_measure
+
+            measure = make_profiled_measure(w.a, w.b, config)
+        plan = plan_spgemm(w.a, w.b, config, scheme=args.plan_scheme,
+                           measure=measure)
+        print(f"plan[{args.plan_scheme}]: {len(plan.panels)} panels, "
+              f"tm histogram {plan.tm_histogram()}")
+    elif dataflow == "op":
+        from spada_tpu.plan.planner import plan_op_dataflow
+
+        op_tm, op_det = plan_op_dataflow(w.a, w.b, config)
+        print(f"colwise plan (scheme {op_det['scheme']}): panel height "
+              f"{op_tm} from {op_det['anchors']} anchors, "
+              f"window-height votes {op_det['heights']}")
 
     res = spgemm(w.a, w.b, config, dataflow=dataflow, plan=plan)
     # warmed re-run for steady-state timing (first call pays compile)
@@ -206,9 +234,16 @@ def cmd_breuse(args, config: SpadaConfig, w: GemmWorkload) -> int:
 def cmd_plan(args, config: SpadaConfig, w: GemmWorkload) -> int:
     from spada_tpu.plan.planner import plan_spgemm
 
-    plan = plan_spgemm(w.a, w.b, config)
+    measure = None
+    if args.plan_scheme == "profiled":
+        from spada_tpu.plan.planner import make_profiled_measure
+
+        measure = make_profiled_measure(w.a, w.b, config)
+    plan = plan_spgemm(w.a, w.b, config, scheme=args.plan_scheme,
+                       measure=measure)
     print(f"{len(plan.panels)} panels over {w.a.shape[0]} rows "
-          f"({plan.meta['n_groups']} row groups)")
+          f"({plan.meta['n_groups']} row groups, "
+          f"scheme {args.plan_scheme})")
     print(f"tm histogram (height -> rows): {plan.tm_histogram()}")
     for p in plan.panels[:20]:
         print(f"  rows [{p.row_start}, {p.row_end})  tm={p.tm}")

@@ -187,7 +187,15 @@ def spgemm(
         return execute_plan(a, b, plan, config)
 
     if tm is None:
-        tm = {"ip": 128, "op": 8, "rowwise": 32}.get(dataflow, config.default_tm)
+        if dataflow == "op":
+            # the colwise adjust schemes (1/2) pick the outer-product panel
+            # height from structure, replacing the reference's fixed
+            # [lane_num, 1] block (main.rs:70)
+            from spada_tpu.plan.planner import plan_op_dataflow
+
+            tm, _ = plan_op_dataflow(a, b, config)
+        else:
+            tm = {"ip": 128, "rowwise": 32}.get(dataflow, config.default_tm)
 
     order = "k" if dataflow == "op" else "row"
     if dtype is np.float32 and config.engine_dtype == "bfloat16":
@@ -253,11 +261,12 @@ def spgemm_csr(
     dataflow = dataflow or config.dataflow
     if dataflow == "element":
         return spgemm(a, b, config, dataflow="element").to_csr()
-    if tm is None:
-        tm = {"ip": 128, "op": 8, "rowwise": 32}.get(dataflow, config.default_tm)
     if dataflow == "op":
         # k-major order has no o-slab structure; fall back to one shot
+        # (tm=None lets plan_op_dataflow pick the panel height)
         return spgemm(a, b, config, dataflow=dataflow, tm=tm).to_csr(prune_eps)
+    if tm is None:
+        tm = {"ip": 128, "rowwise": 32}.get(dataflow, config.default_tm)
 
     dtype = np.float32
     if config.engine_dtype == "bfloat16":

@@ -355,3 +355,98 @@ def choose_tile_size(
         if t < best_cost:
             best_cost, best_t = t, T
     return best_t, details
+
+
+# ----------------------------------------------------------------------------
+# Column-window planning for the outer-product dataflow (schemes 1/2)
+# ----------------------------------------------------------------------------
+
+def plan_op_dataflow(
+    a: CsrMatrix,
+    b: CsrMatrix,
+    config: Optional[SpadaConfig] = None,
+    scheme: Optional[int] = None,
+    max_anchors: int = 512,
+):
+    """Drive the ``op`` dataflow's A-panel height with the colwise policies.
+
+    The reference's column-wise schemes hill-climb block/window heights
+    against the blocks to the LEFT while marching k-major
+    (colwise_reg_adjust.rs:47-109, colwise_irr_adjust.rs:47-110).  TPU
+    realization: the same policy objects, fed the closed-form traffic cost
+    of each visited (row-band, k-block) anchor, commit per-anchor heights
+    ahead of jit; the modal committed height (element-weighted), scaled by
+    the v5e sublane granule (8 rows is the narrowest efficient bf16 tile),
+    becomes the op engine's panel height ``tm``.  This replaces the former
+    hard-coded ``tm=8`` so schemes 1/2 decide something real.
+
+    Returns ``(tm, details)``.
+    """
+    from spada_tpu.plan.policy import (BlockFeedback, ColwiseIrrPolicy,
+                                       ColwiseRegPolicy, traffic_cost)
+    from spada_tpu.plan.topo import BlockTopoTracker
+
+    config = config or SpadaConfig()
+    if scheme is None:
+        scheme = config.adjust_scheme if config.adjust_scheme in (1, 2) else 1
+    bw = config.colwise_block_width
+    n_rows = a.shape[0]
+    b_row_lens = np.diff(b.indptr).astype(np.int64)
+    topo = BlockTopoTracker()
+    if scheme == 2:
+        pol = ColwiseIrrPolicy(config.lane_num, config.group_diviser, bw)
+    else:
+        pol = ColwiseRegPolicy(config.lane_num, bw)
+
+    def irr_height(row_s: int, anchor_col: int) -> int:
+        # scheme 2 reads the group's remembered shape off-boundary; seed it
+        # if this sampled traversal skipped the boundary anchor
+        gid = row_s // pol.group_size
+        if row_s % pol.group_size != 0 and gid not in pol.group_shape:
+            pol.group_shape[gid] = (pol.lane_num, pol.block_width)
+        h, w = pol.adjust_block_shape(row_s, anchor_col, n_rows, topo)
+        # every anchor placed in topo must have a known shape (off-boundary
+        # anchors reuse the group shape without committing one themselves)
+        pol.block_shape[(row_s, anchor_col)] = (h, w)
+        return h
+
+    height_votes: dict = {}
+    token = 0
+    row_s = 0
+    band_h = config.lane_num
+    while row_s < n_rows and token < max_anchors:
+        # march k-blocks left->right inside this row band
+        lo, hi = a.indptr[row_s], a.indptr[min(row_s + band_h, n_rows)]
+        cols = np.sort(a.indices[lo:hi])
+        edges = np.searchsorted(cols, np.arange(0, a.shape[1] + bw, bw))
+        next_h = band_h
+        for bi, ci in enumerate(np.flatnonzero(np.diff(edges))):
+            if token >= max_anchors:
+                break
+            anchor_col = int(ci) * bw
+            if scheme == 2:
+                h = irr_height(row_s, anchor_col)
+                if bi == 0:
+                    next_h = h
+            else:
+                blk_h, _ = pol.adjust_block_shape(row_s, n_rows)
+                h, _ = pol.adjust_window_shape(
+                    token, row_s, anchor_col, blk_h, topo)
+            seg = cols[edges[ci]:edges[ci + 1]]
+            a_ele = len(seg)
+            b_words = int(2 * b_row_lens[seg].sum())
+            cost = traffic_cost(b_words, 0, 2 * b_words + 2 * a_ele,
+                                config.cost_miss_weight)
+            pol.block_info[token] = BlockFeedback(a_ele_num=a_ele, cost=cost)
+            topo.add_block(token, row_s, anchor_col)
+            height_votes[h] = height_votes.get(h, 0) + a_ele
+            token += 1
+        row_s += band_h
+        band_h = max(1, next_h)
+    if not height_votes:
+        return 8, {"scheme": scheme, "anchors": 0, "heights": {}}
+    mode_h = max(height_votes.items(), key=lambda kv: kv[1])[0]
+    # scale lane-granular heights to sublane-granular MXU panels
+    tm = 1 << int(np.clip(np.round(np.log2(max(mode_h, 1) * 8)), 3, 7))
+    return tm, {"scheme": scheme, "anchors": token,
+                "heights": height_votes, "mode_h": mode_h}

@@ -72,3 +72,36 @@ def test_run_mode_preprocessed_restores_rows(tmp_path, capsys):
     rows_plain = [l for l in out_plain.splitlines() if l.startswith("  C[")]
     rows_pre = [l for l in out_pre.splitlines() if l.startswith("  C[")]
     assert rows_plain == rows_pre
+
+
+def test_nn_autogenerate_out_of_the_box(tmp_path, capsys):
+    """`run spada NN <layer>` generates the stock pickle when missing
+    (VERDICT #8: NN category end-to-end without manual setup)."""
+    cfg = tmp_path / "cfg.json"
+    cfg.write_text('{"nn_filepath": "%s"}' % (tmp_path / "nn_gemm.pkl"))
+    rc, out = _run(["run", "spada", "NN", "resnet50_fc", str(cfg),
+                    "--no-result"], capsys)
+    assert rc == 0
+    assert "generating NN workloads" in out
+    assert (tmp_path / "nn_gemm.pkl").exists()
+    # second run reuses the pickle
+    rc, out = _run(["run", "spada", "NN", "resnet50_fc", str(cfg),
+                    "--no-result"], capsys)
+    assert rc == 0
+    assert "generating NN workloads" not in out
+
+
+def test_plan_scheme_profiled_cli(capsys):
+    """--plan-scheme profiled reaches the measured-latency planner
+    (VERDICT #6: scheme-3 signal exposed beyond tests)."""
+    rc, out = _run(["plan", "spada", "SS", "cari", "--plan-scheme",
+                    "profiled"], capsys)
+    assert rc == 0
+    assert "scheme profiled" in out
+
+
+def test_op_dataflow_colwise_plan_cli(capsys):
+    """op dataflow prints and uses the colwise (scheme 1/2) panel plan."""
+    rc, out = _run(["run", "op", "SS", "cari", "--no-result"], capsys)
+    assert rc == 0
+    assert "colwise plan" in out

@@ -328,3 +328,38 @@ def test_choose_tile_size():
     b2 = banded_csr(16384, 16384, 32, seed=3)
     t_small, det2 = choose_tile_size(a2, b2, SpadaConfig())
     assert t_small == 128, det2
+
+
+def test_plan_op_dataflow_drives_tm():
+    """Schemes 1/2 commit per-anchor heights that pick the op panel height
+    (colwise_reg_adjust.rs:47-109 / colwise_irr_adjust.rs:47-110 driving a
+    real kernel parameter instead of a model)."""
+    from spada_tpu.io.workloads import banded_csr, powerlaw_csr
+    from spada_tpu.plan.planner import plan_op_dataflow
+
+    a = banded_csr(512, 512, 32, seed=5, dtype=np.float32)
+    b = banded_csr(512, 512, 32, seed=6, dtype=np.float32)
+    for scheme in (1, 2):
+        tm, det = plan_op_dataflow(a, b, scheme=scheme)
+        assert tm in (8, 16, 32, 64, 128)
+        assert det["anchors"] > 0 and det["heights"]
+        # deterministic
+        tm2, _ = plan_op_dataflow(a, b, scheme=scheme)
+        assert tm2 == tm
+
+    sc_a = powerlaw_csr(512, 512, 3.0, seed=7, dtype=np.float32)
+    sc_b = powerlaw_csr(512, 512, 3.0, seed=8, dtype=np.float32)
+    tm, det = plan_op_dataflow(sc_a, sc_b, scheme=1)
+    assert tm in (8, 16, 32, 64, 128)
+
+
+def test_op_dataflow_planned_matches_scipy():
+    """spgemm(dataflow='op') with the planner-chosen tm stays scipy-exact."""
+    from spada_tpu.io.workloads import random_csr
+    from spada_tpu.ops.spgemm import spgemm
+
+    a = random_csr(96, 64, 0.15, seed=11, dtype=np.float32)
+    b = random_csr(64, 80, 0.15, seed=12, dtype=np.float32)
+    res = spgemm(a, b, SpadaConfig(precision="highest"), dataflow="op")
+    ref = np.asarray((a.to_scipy() @ b.to_scipy()).todense())
+    np.testing.assert_allclose(res.todense(), ref, rtol=1e-5, atol=1e-5)
