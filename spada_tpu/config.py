@@ -79,6 +79,11 @@ class SpadaConfig:
         default_factory=lambda: {128: 0.15e-6, 256: 0.49e-6,
                                  384: 1.26e-6, 512: 2.49e-6}
     )
+    # per-item decomposition fitted to the same measurements (non-MXU part
+    # scales with the f32 accumulate footprint tm*tn; see BENCH_NOTES.md):
+    # t_item = 2*tm*tk*tn/peak + acc*tm*tn + fixed
+    engine_acc_s_per_elem: float = 4.8e-12
+    engine_item_fixed_s: float = 60e-9
 
     # ---- HBM roofline constants of the target chip (v5e defaults) ----
     hbm_bytes_per_s: float = 819e9

@@ -105,12 +105,20 @@ def panel_cost_model(
     tm: int,
     bt: BTileStructure,
     itemsize: int = 4,
+    config=None,
 ) -> Dict[str, float]:
     """Exact byte/flop model of the tile engine on rows [row_start, row_end)
     split into panels of height ``tm``.
 
-    Returns work items W, C tiles, HBM bytes, useful flops, and
-    bytes-per-useful-flop (the cost-per-element analog the policies argmin)."""
+    With ``config`` the returned ``cost`` is modeled SECONDS — the same
+    roofline shape the measured kernel obeys:
+    ``max(bytes/BW, W * t_item(tm, tk, tn))`` where the per-item time is the
+    v5e-fitted ``MXU + f32-accumulate + fixed scalar`` decomposition
+    (BENCH_NOTES.md).  Without config, ``cost`` falls back to bytes (pure
+    traffic argmin) — byte-only ranking systematically over-favors thin
+    panels whose per-item overhead dominates.
+
+    Returns work items W, C tiles, HBM bytes, and mxu flops."""
     tk, tn = bt.tk, bt.tn
     s, e = a.indptr[row_start], a.indptr[row_end]
     rows = np.repeat(
@@ -142,7 +150,14 @@ def panel_cost_model(
         W * (tm * tk + tk * tn) * itemsize + c_tiles * tm * tn * itemsize
     )
     mxu_flops = 2 * W * tm * tk * tn
+    if config is not None:
+        t_item = (2 * tm * tk * tn / config.peak_flops_bf16
+                  + config.engine_acc_s_per_elem * tm * tn
+                  + config.engine_item_fixed_s)
+        cost = max(bytes_moved / config.hbm_bytes_per_s, W * t_item)
+    else:
+        cost = float(bytes_moved)
     return dict(
         work=W, c_tiles=int(c_tiles), bytes=float(bytes_moved),
-        mxu_flops=mxu_flops, cost=float(bytes_moved),
+        mxu_flops=mxu_flops, cost=cost,
     )

@@ -69,27 +69,63 @@ def plan_spgemm(
     config = config or SpadaConfig()
     groups = parse_group(a.row_lens(), config.var_factor)
     bt = BTileStructure(b, config.tile_k, config.tile_n)
+    itemsize = 2 if config.engine_dtype == "bfloat16" else 4
+
+    def span_cost(s: int, e: int, tm: int) -> float:
+        if scheme == "profiled" and measure is not None:
+            # sample a prefix of the span (sample_num panels' worth)
+            span = min(e - s, config.sample_num * tm)
+            return measure(s, s + span, tm) / max(span, 1) * (e - s)
+        return panel_cost_model(a, s, e, tm, bt, itemsize=itemsize,
+                                config=config)["cost"]
+
+    def best_for(s: int, e: int):
+        best_tm, best_cost, per_tm = config.default_tm, float("inf"), {}
+        for tm in config.tm_choices:
+            c = span_cost(s, e, tm)
+            per_tm[tm] = c
+            if c < best_cost:
+                best_cost, best_tm = c, tm
+        return best_tm, best_cost, per_tm
+
     panels: List[PanelSpec] = []
+    costs: List[float] = []
     group_costs = []
     for gi in groups.groups:
         s, e = gi.row_range
         if a.get_ele_num(s, e) == 0:
             panels.append(PanelSpec(s, e, config.default_tm))
+            costs.append(0.0)
             continue
-        best_tm, best_cost = config.default_tm, float("inf")
-        per_tm = {}
-        for tm in config.tm_choices:
-            if scheme == "profiled" and measure is not None:
-                # sample a prefix of the group (sample_num panels' worth)
-                span = min(e - s, config.sample_num * tm)
-                cost = measure(s, s + span, tm) / max(span, 1)
-            else:
-                cost = panel_cost_model(a, s, e, tm, bt)["cost"]
-            per_tm[tm] = cost
-            if cost < best_cost:
-                best_cost, best_tm = cost, tm
+        best_tm, best_cost, per_tm = best_for(s, e)
         group_costs.append(per_tm)
         panels.append(PanelSpec(s, e, best_tm))
+        costs.append(best_cost)
+
+    # Agglomerative coalescing: a group is at most one panel tall to the
+    # per-group argmin above, so it cannot see that fusing neighbors into a
+    # TALLER shared panel collapses duplicate k-tile fan-out (the global
+    # W reduction behind big tiles).  This is the batch analog of the
+    # reference's narrow-group neighbor comparison
+    # (rowwise_adjust.rs:209-255): merge adjacent spans while the union
+    # models faster than the parts.
+    if scheme == "analytic":
+        improved = True
+        while improved and len(panels) > 1:
+            improved = False
+            out_p, out_c = [panels[0]], [costs[0]]
+            for p, c in zip(panels[1:], costs[1:]):
+                q, cq = out_p[-1], out_c[-1]
+                if q.row_end == p.row_start:
+                    u_tm, u_cost, _ = best_for(q.row_start, p.row_end)
+                    if u_cost < (cq + c) * 0.98:
+                        out_p[-1] = PanelSpec(q.row_start, p.row_end, u_tm)
+                        out_c[-1] = u_cost
+                        improved = True
+                        continue
+                out_p.append(p)
+                out_c.append(c)
+            panels, costs = out_p, out_c
 
     # merge adjacent same-height groups into single panels
     merged: List[PanelSpec] = []

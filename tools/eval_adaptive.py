@@ -48,27 +48,55 @@ def time_worklist(wl, a_tiles, b_tiles, rt):
             )
             total += time_worklist(sub, a_tiles, b_tiles, rt)
         return total
-    a_slots, b_slots, depth, ogroup = 12, 24, 8, 8
+    T = max(a_tiles.shape[1], a_tiles.shape[2], b_tiles.shape[2])
+    if T >= 512:  # VMEM fit (see run_worklist_cached budget)
+        a_slots, b_slots, depth, ogroup = 6, 10, 4, 2
+    elif T >= 384:
+        a_slots, b_slots, depth, ogroup = 6, 10, 4, 6
+    else:
+        a_slots, b_slots, depth, ogroup = 12, 24, 8, 8
     ap = plan_tile_cache(wl.a_tid, a_slots, depth)
     bp = plan_tile_cache(wl.b_tid, b_slots, depth)
     apk = jnp.asarray(_pack_plan(wl.a_tid, ap))
     bpk = jnp.asarray(_pack_plan(wl.b_tid, bp))
-    oi = jnp.asarray(wl.o_tid)
     ng = -(-wl.n_c_tiles // ogroup)
     ip = jnp.asarray(np.searchsorted(
-        np.asarray(wl.o_tid), np.arange(ng + 1) * ogroup
+        np.asarray(wl.o_tid), np.arange(ng * ogroup + 1)
     ).astype(np.int32))
     at = jnp.asarray(a_tiles).astype(jnp.bfloat16)
     bt = jnp.asarray(b_tiles).astype(jnp.bfloat16)
 
     def eng(at, bt):
         return _run_pallas_cached(
-            ip, oi, apk, bpk, at, bt, n_c_tiles=wl.n_c_tiles,
+            ip, apk, bpk, at, bt, n_c_tiles=wl.n_c_tiles,
             a_slots=a_slots, b_slots=b_slots, depth=depth, ogroup=ogroup,
-            interpret=False, precision="default",
+            interpret=False, precision="default", out_dtype=jnp.bfloat16,
         )
 
     return device_time(eng, (at, bt), k=8, trials=3, roundtrip=rt)
+
+
+def time_element(a, b, rt):
+    """ESC element-engine seconds (the dispatch's scattered-structure path)."""
+    import jax.numpy as jnp
+
+    from spada_tpu.ops.element import (_esc_execute_jit, build_esc_plan,
+                                       esc_operands, esc_transfer)
+    from spada_tpu.utils.timing import device_time
+
+    plan = build_esc_plan(a, b)
+    ops = esc_transfer(esc_operands(plan, a, b))
+    run = _esc_execute_jit()
+    flat = [x for pair in ops for x in pair]
+
+    def fn(first, *rest):
+        xs = (first,) + rest
+        eps = (jnp.sum(first[:1]) * 1e-30).astype(first.dtype)
+        pairs = tuple((xs[2 * i] + eps, xs[2 * i + 1])
+                      for i in range(len(xs) // 2))
+        return run(pairs)
+
+    return device_time(fn, tuple(flat), k=16, trials=3, roundtrip=rt)
 
 
 def main():
@@ -121,6 +149,18 @@ def main():
                                    hub_frac=0.02, seed=12, dtype=np.float32),
         ),
     }
+    # NN category: pruned bert_ffn1 weight x ReLU-sparse activations,
+    # unstructured and 32-block structured pruning (VERDICT #8)
+    from spada_tpu.models.nn_workloads import make_nn_gemms
+
+    for label, blk in (("nn-bert-ffn1", None), ("nn-bert-ffn1-blk32", 32)):
+        g = make_nn_gemms(density=0.1, structured_block=blk,
+                          layers={"bert_ffn1": ((3072, 768), 512)})
+        wa, wb = g["bert_ffn1"]
+        workloads[label] = (
+            CsrMatrix.from_scipy(wa.astype(np.float32)),
+            CsrMatrix.from_scipy(wb.astype(np.float32)),
+        )
 
     rt = measure_roundtrip()
     rows = []
@@ -129,7 +169,9 @@ def main():
         t_best, _ = choose_tile_size(a, b, cfg)
         cfg.tile_k = cfg.tile_n = t_best
         cfg.default_tm = t_best
-        cfg.tm_choices = tuple(t for t in (32, 64, 128, 256) if t <= t_best)
+        cfg.tm_choices = tuple(
+            t for t in (32, 64, 128, 256, 384, 512) if t < t_best
+        ) + (t_best,)
         b_bsr = BsrMatrix.from_csr(b, t_best, t_best, dtype=np.float32)
         results = {}
 
@@ -161,6 +203,18 @@ def main():
         results["spada"] = (total, W)
         print(f"{name} spada: {total*1e3:.2f}ms W={W} "
               f"(tm hist {plan.tm_histogram()})", flush=True)
+
+        # what the full dispatch would actually run (scattered structure
+        # routes to the ESC element engine — VERDICT round-1 Missing #1)
+        from spada_tpu.ops.spgemm import dispatch_dataflow
+
+        choice, det = dispatch_dataflow(a, b, cfg)
+        if choice == "element":
+            el = time_element(a, b, rt)
+            results["element (dispatched)"] = (
+                el, det["element"]["e_products"])
+            print(f"{name} element (dispatched): {el*1e3:.2f}ms "
+                  f"E={det['element']['e_products']}", flush=True)
         rows.append((name, t_best, results))
 
     lines = [
