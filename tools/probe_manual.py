@@ -37,7 +37,7 @@ def main():
     from spada_tpu.utils.timing import device_time, measure_roundtrip
 
     n, band = 65536, 384
-    tm = tk = tn = 256
+    tm = tk = tn = int(os.environ.get("PROBE_T", "256"))
     a = banded_csr(n, n, bandwidth=band, seed=0, dtype=np.float32)
     b = banded_csr(n, n, bandwidth=band, seed=1, dtype=np.float32)
     a_bsr = BsrMatrix.from_csr(a, tm, tk, dtype=np.float32)
@@ -46,8 +46,13 @@ def main():
     W, nC = wl.n_items, wl.n_c_tiles
     at = jnp.asarray(a_bsr.tiles).astype(jnp.bfloat16)
     bt = jnp.asarray(b_bsr.tiles).astype(jnp.bfloat16)
-    a_slots, b_slots, depth = 12, 24, 8
-    ogroup = int(os.environ.get("PROBE_OGROUP", "8"))
+    if tm >= 384:
+        a_slots, b_slots, depth = 6, 10, 4
+        default_og = 6
+    else:
+        a_slots, b_slots, depth = 12, 24, 8
+        default_og = 8
+    ogroup = int(os.environ.get("PROBE_OGROUP", str(default_og)))
     nbuf = int(os.environ.get("PROBE_NBUF", "2"))
     a_plan = plan_tile_cache(wl.a_tid, a_slots, depth)
     b_plan = plan_tile_cache(wl.b_tid, b_slots, depth)
