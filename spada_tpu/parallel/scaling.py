@@ -110,9 +110,11 @@ def estimate_reduce_scaling(problem, config: Optional[SpadaConfig] = None,
                             tile_itemsize: int = 2) -> ScalingEstimate:
     """Model the K-sharded psum-merge strategy on real ICI.
 
-    The tp-axis ring all-reduce moves 2*(tp-1)/tp of each dp panel's C
-    bytes over one link and cannot overlap the local products (it consumes
-    their outputs) — the strategy wins only when C is small vs the halo.
+    The tp-axis merge is a ring reduce_scatter (spgemm_sharded's default):
+    (tp-1)/tp of each dp panel's C bytes over one link, leaving C
+    tile-sharded over tp.  It cannot overlap the local products (it
+    consumes their outputs) — the strategy wins only when C is small vs
+    the halo.
     """
     config = config or SpadaConfig()
     p = problem
@@ -125,7 +127,7 @@ def estimate_reduce_scaling(problem, config: Optional[SpadaConfig] = None,
     compute_s, imb = _shard_compute_s(flops, hbm, config)
 
     c_bytes = int(p.n_c_tiles.sum()) * p.tm * p.tn * 4
-    per_dev = (2 * (p.n_tp - 1) / max(p.n_tp, 1)) * (c_bytes / max(p.n_dp, 1))
+    per_dev = ((p.n_tp - 1) / max(p.n_tp, 1)) * (c_bytes / max(p.n_dp, 1))
     comm_s = per_dev / config.ici_bytes_per_s
     total = compute_s + comm_s
     return ScalingEstimate(

@@ -102,12 +102,22 @@ class ShardedResult:
 
 
 def make_sharded_fn(mesh: Mesh, n_c_tiles: int, chunk: int = 1024,
-                    precision=jax.lax.Precision.HIGHEST):
+                    precision=jax.lax.Precision.HIGHEST,
+                    merge: str = "reduce_scatter"):
     """Build the jitted shard_map SpGEMM for a given mesh and C-tile count.
 
     The returned fn takes the stacked per-shard arrays of
-    :class:`ShardedProblem` and returns C tiles [n_dp, nCmax+1, tm, tn].
+    :class:`ShardedProblem` and returns C tiles [n_dp, >=n_c_tiles+1, tm,
+    tn] (slice to ``n_c_tiles`` + dump slot).
+
+    ``merge``: how the tp shards' k-partial C tiles combine —
+    ``'reduce_scatter'`` (default) moves (tp-1)/tp of the C bytes once and
+    leaves each tp rank holding a tile-range shard (reassembled by the out
+    spec); ``'psum'`` all-reduces (2x the bytes) and replicates C over tp.
+    Both are the distributed merge-task graph (scheduler.rs:381-480) as an
+    ICI collective.
     """
+    n_tp = mesh.shape["tp"]
 
     def per_shard(a_tid, b_tid, o_tid, a_tiles, b_tiles):
         # shard_map passes blocks with leading mesh dims of size 1
@@ -116,16 +126,27 @@ def make_sharded_fn(mesh: Mesh, n_c_tiles: int, chunk: int = 1024,
             a_tiles[0, 0], b_tiles[0, 0],
             n_c_tiles=n_c_tiles, chunk=chunk, precision=precision,
         )
-        # distributed psum-merge of the k-sharded partials
-        c = jax.lax.psum(c, axis_name="tp")
+        if merge == "reduce_scatter" and n_tp > 1:
+            pad = (-c.shape[0]) % n_tp
+            if pad:
+                c = jnp.concatenate(
+                    [c, jnp.zeros((pad,) + c.shape[1:], c.dtype)]
+                )
+            c = jax.lax.psum_scatter(c, "tp", scatter_dimension=0,
+                                     tiled=True)
+        else:
+            c = jax.lax.psum(c, axis_name="tp")
         return c[None]
 
+    out_tp = merge == "reduce_scatter" and n_tp > 1
     fn = jax.shard_map(
         per_shard,
         mesh=mesh,
         in_specs=(P("dp", "tp"), P("dp", "tp"), P("dp", "tp"),
                   P("dp", "tp"), P("dp", "tp")),
-        out_specs=P("dp"),
+        # reduce_scatter: tp ranks hold consecutive tile ranges; the out
+        # spec concatenates them back along the tile dim
+        out_specs=P("dp", "tp") if out_tp else P("dp"),
     )
     return jax.jit(fn)
 
@@ -134,15 +155,20 @@ def spgemm_sharded(
     problem: ShardedProblem,
     mesh: Optional[Mesh] = None,
     chunk: int = 1024,
+    merge: str = "reduce_scatter",
 ) -> ShardedResult:
     """Execute a partitioned SpGEMM over the mesh (default: all devices)."""
     if mesh is None:
         devs = np.array(jax.devices()[: problem.n_dp * problem.n_tp])
         mesh = Mesh(devs.reshape(problem.n_dp, problem.n_tp), ("dp", "tp"))
-    fn = make_sharded_fn(mesh, n_c_tiles=problem.nCmax, chunk=chunk)
+    fn = make_sharded_fn(mesh, n_c_tiles=problem.nCmax, chunk=chunk,
+                         merge=merge)
     c = fn(
         jnp.asarray(problem.a_tid), jnp.asarray(problem.b_tid),
         jnp.asarray(problem.o_tid), jnp.asarray(problem.a_tiles),
         jnp.asarray(problem.b_tiles),
     )
-    return ShardedResult(problem=problem, c_tiles=np.asarray(c))
+    # reduce_scatter pads the tile dim to a multiple of tp; drop the pad
+    # (the dump slot at index nCmax stays)
+    c = np.asarray(c)[:, : problem.nCmax + 1]
+    return ShardedResult(problem=problem, c_tiles=c)

@@ -141,3 +141,17 @@ def test_choose_parallel_strategy():
         res = spgemm_sharded(det["reduce_problem"])
     np.testing.assert_allclose(res.todense(), _ref(a, b), rtol=1e-5,
                                atol=1e-5)
+
+
+def test_reduce_scatter_merge_equals_psum():
+    """The tp merge via ring reduce_scatter (default) reassembles to the
+    same C as the replicating psum all-reduce."""
+    a = random_csr(96, 80, 0.12, seed=51, dtype=np.float32)
+    b = random_csr(80, 72, 0.12, seed=52, dtype=np.float32)
+    prob = partition_spgemm(a, b, n_dp=2, n_tp=4, tm=16)
+    r_rs = spgemm_sharded(prob, merge="reduce_scatter")
+    r_ps = spgemm_sharded(prob, merge="psum")
+    np.testing.assert_allclose(r_rs.todense(), r_ps.todense(),
+                               rtol=1e-6, atol=1e-6)
+    ref = np.asarray((a.to_scipy() @ b.to_scipy()).todense())
+    np.testing.assert_allclose(r_rs.todense(), ref, rtol=1e-4, atol=1e-4)
