@@ -808,7 +808,19 @@ def run_worklist_cached(a_tiles, b_tiles, a_ids, b_ids, o_ids,
     tm, tk = a_tiles.shape[1], a_tiles.shape[2]
     tn = b_tiles.shape[2]
     isz = np.dtype(a_tiles.dtype).itemsize
-    budget = 12 * 1024 * 1024 - 2 * ogroup * tm * tn * 4  # nbuf=2 accs
+    # fit order: (1) halve ogroup until the nbuf=2 f32 accumulators take at
+    # most half the 12 MiB budget (big tiles: 8 x 512^2 accs alone would be
+    # 16 MiB); (2) shrink depth if even the minimum slot rings cannot fit;
+    # (3) shrink slot counts proportionally
+    total = 12 * 1024 * 1024
+    while ogroup > 1 and 2 * ogroup * tm * tn * 4 > total // 2:
+        ogroup //= 2
+    budget = total - 2 * ogroup * tm * tn * 4
+    slot_pair = (tm * tk + tk * tn) * isz
+    max_depth = budget // slot_pair - 2
+    depth = max(1, min(depth, int(max_depth)))
+    a_slots = max(a_slots, depth + 2)
+    b_slots = max(b_slots, depth + 2)
     need = (a_slots * tm * tk + b_slots * tk * tn) * isz
     if need > budget:
         scale = budget / need

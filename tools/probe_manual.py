@@ -239,6 +239,120 @@ def main():
 
         return kernel
 
+    def make_flat_kernel():
+        """v5flat: ONE grid step; the group loop runs inside the kernel as a
+        fori_loop — measures how much of the per-grid-step overhead
+        (Mosaic re-entry + scalar setup, ~1.8us/step) a flat launch
+        recovers."""
+
+        def kernel(tile_ptr_ref, a_pk_ref, b_pk_ref,
+                   a_hbm, b_hbm, c_hbm, acache, bcache, asem, bsem,
+                   *obufs):
+            csem = obufs[-1]
+            accs = obufs[:nbuf]
+
+            def unpack(pk):
+                return pk >> 9, (pk >> 1) & 255, pk & 1
+
+            def start_loads(w):
+                a_tid, sa, a_ld = unpack(a_pk_ref[w])
+                b_tid, sb, b_ld = unpack(b_pk_ref[w])
+
+                @pl.when(a_ld == 1)
+                def _():
+                    pltpu.make_async_copy(
+                        a_hbm.at[a_tid], acache.at[sa], asem.at[sa]
+                    ).start()
+
+                @pl.when(b_ld == 1)
+                def _():
+                    pltpu.make_async_copy(
+                        b_hbm.at[b_tid], bcache.at[sb], bsem.at[sb]
+                    ).start()
+
+            for w in range(depth):
+                if w < W:
+                    start_loads(w)
+
+            def do_item(w, j, acc, store):
+                @pl.when(w + depth < W)
+                def _():
+                    start_loads(w + depth)
+                a_tid, sa, a_ld = unpack(a_pk_ref[w])
+                b_tid, sb, b_ld = unpack(b_pk_ref[w])
+
+                @pl.when(a_ld == 1)
+                def _():
+                    pltpu.make_async_copy(
+                        a_hbm.at[a_tid], acache.at[sa], asem.at[sa]
+                    ).wait()
+
+                @pl.when(b_ld == 1)
+                def _():
+                    pltpu.make_async_copy(
+                        b_hbm.at[b_tid], bcache.at[sb], bsem.at[sb]
+                    ).wait()
+                d = jax.lax.dot_general(
+                    acache[sa], bcache[sb],
+                    dimension_numbers=(((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )
+                if store:
+                    acc[j] = d
+                else:
+                    acc[j] += d
+
+            def group_body(g, _):
+                base = g * ogroup
+                for pp in range(nbuf):
+                    @pl.when(g % nbuf == pp)
+                    def _(pp=pp):
+                        acc, sem = accs[pp], csem.at[pp]
+
+                        @pl.when(g >= nbuf)
+                        def _():
+                            pltpu.make_async_copy(
+                                acc,
+                                c_hbm.at[pl.ds((g - nbuf) * ogroup, ogroup)],
+                                sem,
+                            ).wait()
+                        for j in range(ogroup):
+                            lo = tile_ptr_ref[base + j]
+                            hi = tile_ptr_ref[base + j + 1]
+
+                            @pl.when(hi > lo)
+                            def _(lo=lo, j=j, acc=acc):
+                                do_item(lo, j, acc, store=True)
+
+                            def body(w, _, j=j, acc=acc):
+                                do_item(w, j, acc, store=False)
+                                return 0
+
+                            jax.lax.fori_loop(lo + 1, hi, body, 0,
+                                              unroll=False)
+                        pltpu.make_async_copy(
+                            acc, c_hbm.at[pl.ds(base, ogroup)], sem
+                        ).start()
+                return 0
+
+            jax.lax.fori_loop(0, n_groups, group_body, 0, unroll=False)
+            for pp in range(nbuf):
+                @pl.when((n_groups - 1) % nbuf == pp)
+                def _(pp=pp):
+                    for back in range(nbuf):
+                        bi = (pp - back) % nbuf
+
+                        @pl.when(n_groups - 1 - back >= 0)
+                        def _(back=back, bi=bi):
+                            pltpu.make_async_copy(
+                                accs[bi],
+                                c_hbm.at[pl.ds(
+                                    (n_groups - 1 - back) * ogroup, ogroup)],
+                                csem.at[bi],
+                            ).wait()
+
+        return kernel
+
     @functools.partial(jax.jit, static_argnames=("mode",))
     def run_variant(tile_ptr, apk, bpk, at, bt, mode):
         grid_spec = pltpu.PrefetchScalarGridSpec(
