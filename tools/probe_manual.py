@@ -357,7 +357,7 @@ def main():
     def run_variant(tile_ptr, apk, bpk, at, bt, mode):
         grid_spec = pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=3,
-            grid=(n_groups,),
+            grid=(1,) if mode == "flat" else (n_groups,),
             in_specs=[
                 pl.BlockSpec(memory_space=pltpu.ANY),
                 pl.BlockSpec(memory_space=pltpu.ANY),
@@ -373,7 +373,7 @@ def main():
             + [pltpu.SemaphoreType.DMA((nbuf,))],
         )
         return pl.pallas_call(
-            make_kernel(mode),
+            make_flat_kernel() if mode == "flat" else make_kernel(mode),
             grid_spec=grid_spec,
             out_shape=jax.ShapeDtypeStruct(
                 (n_groups * ogroup, tm, tn), jnp.float32
