@@ -853,3 +853,304 @@ def run_worklist_cached(a_tiles, b_tiles, a_ids, b_ids, o_ids,
         uitems=uitems,
     )
     return c, a_plan, b_plan
+
+
+# --------------------------------------------------------------------------
+# Panel-dot kernel (k-concatenated runs, one MXU dot per C tile)
+# --------------------------------------------------------------------------
+#
+# The cached kernel's per-item `acc[j] += dot` chain serializes at ~2.8x the
+# MXU floor on run-structured worklists: every item past a run's first pays
+# a f32 VMEM read-modify-write of the whole C tile plus a scalar->MXU->VPU
+# dependence chain.  This engine removes the accumulate entirely: the
+# adjacency-preserving planner (spada_tpu.ops.panelplan) places each run's
+# A and B tiles in CONSECUTIVE cache slots, the caches are shaped 2-D with
+# k as the major axis, and a C tile's whole run becomes ONE
+# `dot_general` over (L*tk)-row panels with the MXU accumulating internally
+# across the contraction — the reference's multiply-merge pipeline
+# (simulator.rs:117-235) collapsed into a single wide MXU pass per output.
+#
+# Layout: A tiles are stored k-transposed, (n_a, tk, tm), so the A cache
+# (a_slots*tk, tm) concatenates a run's tiles along rows; the panel dot is
+# the lhs-contracting-dim-0 form
+#   C = A_panel^T @ B_panel,  A_panel (L*tk, tm), B_panel (L*tk, tn),
+# which Mosaic lowers to tpu.matmul with transposed-lhs dimension numbers.
+# Run lengths are specialized per static branch (L = 1..max_panel); longer
+# runs fall back to per-item transposed dots with accumulate (the planner
+# plans them per-item, so slots need not be adjacent).
+
+def _make_panel_kernel(n_items: int, n_groups: int, depth: int, ogroup: int,
+                       tk: int, max_panel: int, precision,
+                       out_dtype=jnp.float32, nbuf: int = 2):
+    def kernel(tile_ptr_ref, a_pk_ref, b_pk_ref,
+               a_hbm, b_hbm, c_hbm, acache, bcache, asem, bsem, *obufs):
+        csem = obufs[-1]
+        accs = obufs[:nbuf]
+        stages = obufs[nbuf:-1]  # empty for f32 output
+        g = pl.program_id(0)
+        base = g * ogroup
+
+        def unpack(pk):
+            return pk >> 9, (pk >> 1) & 255, pk & 1
+
+        def start_loads(w):
+            a_tid, sa, a_ld = unpack(a_pk_ref[w])
+            b_tid, sb, b_ld = unpack(b_pk_ref[w])
+
+            @pl.when(a_ld == 1)
+            def _():
+                pltpu.make_async_copy(
+                    a_hbm.at[a_tid], acache.at[pl.ds(sa * tk, tk)],
+                    asem.at[sa],
+                ).start()
+
+            @pl.when(b_ld == 1)
+            def _():
+                pltpu.make_async_copy(
+                    b_hbm.at[b_tid], bcache.at[pl.ds(sb * tk, tk)],
+                    bsem.at[sb],
+                ).start()
+
+        @pl.when(g == 0)
+        def _warmup():
+            for w in range(depth):
+                @pl.when(w < n_items)
+                def _():
+                    start_loads(w)
+
+        def prep_item(w):
+            """Prefetch item w+depth, wait item w's loads."""
+            @pl.when(w + depth < n_items)
+            def _():
+                start_loads(w + depth)
+            a_tid, sa, a_ld = unpack(a_pk_ref[w])
+            b_tid, sb, b_ld = unpack(b_pk_ref[w])
+
+            @pl.when(a_ld == 1)
+            def _():
+                pltpu.make_async_copy(
+                    a_hbm.at[a_tid], acache.at[pl.ds(sa * tk, tk)],
+                    asem.at[sa],
+                ).wait()
+
+            @pl.when(b_ld == 1)
+            def _():
+                pltpu.make_async_copy(
+                    b_hbm.at[b_tid], bcache.at[pl.ds(sb * tk, tk)],
+                    bsem.at[sb],
+                ).wait()
+
+            return sa, sb
+
+        def panel_dot(sa0, sb0, L):
+            return jax.lax.dot_general(
+                acache[pl.ds(sa0 * tk, L * tk)],
+                bcache[pl.ds(sb0 * tk, L * tk)],
+                dimension_numbers=(((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+                precision=precision,
+            )
+
+        def group(acc, stage, sem):
+            src = stage if stage is not None else acc
+            # reclaim this buffer: wait its copy-out from nbuf steps ago
+            @pl.when(g >= nbuf)
+            def _():
+                pltpu.make_async_copy(
+                    src, c_hbm.at[pl.ds((g - nbuf) * ogroup, ogroup)], sem
+                ).wait()
+            for j in range(ogroup):
+                lo = tile_ptr_ref[base + j]
+                hi = tile_ptr_ref[base + j + 1]
+                L = hi - lo
+
+                @pl.when((L > 0) & (L <= max_panel))
+                def _(lo=lo, L=L, j=j):
+                    # prefetch + wait the whole run, then one panel dot
+                    def wbody(w, _):
+                        prep_item(w)
+                        return 0
+
+                    jax.lax.fori_loop(lo, lo + L, wbody, 0, unroll=False)
+                    sa0 = (a_pk_ref[lo] >> 1) & 255
+                    sb0 = (b_pk_ref[lo] >> 1) & 255
+                    for Lb in range(1, max_panel + 1):
+                        @pl.when(L == Lb)
+                        def _(Lb=Lb):
+                            acc[j] = panel_dot(sa0, sb0, Lb)
+
+                @pl.when(L > max_panel)
+                def _(lo=lo, hi=hi, j=j):
+                    # per-item fallback (planner placed these per-item)
+                    sa, sb = prep_item(lo)
+                    acc[j] = panel_dot(sa, sb, 1)
+
+                    def body(w, _, j=j):
+                        sa, sb = prep_item(w)
+                        acc[j] += panel_dot(sa, sb, 1)
+                        return 0
+
+                    jax.lax.fori_loop(lo + 1, hi, body, 0, unroll=False)
+            if stage is not None:
+                stage[...] = acc[...].astype(out_dtype)
+            pltpu.make_async_copy(
+                src, c_hbm.at[pl.ds(base, ogroup)], sem
+            ).start()
+
+        for pp in range(nbuf):
+            @pl.when(g % nbuf == pp)
+            def _(pp=pp):
+                group(accs[pp], stages[pp] if stages else None,
+                      csem.at[pp])
+
+        @pl.when(g == n_groups - 1)
+        def _drain():
+            for pp in range(nbuf):
+                @pl.when(g % nbuf == pp)
+                def _(pp=pp):
+                    for back in range(nbuf):
+                        bi = (pp - back) % nbuf
+                        src = stages[bi] if stages else accs[bi]
+
+                        @pl.when(g - back >= 0)
+                        def _(back=back, bi=bi, src=src):
+                            pltpu.make_async_copy(
+                                src,
+                                c_hbm.at[pl.ds((g - back) * ogroup,
+                                               ogroup)],
+                                csem.at[bi],
+                            ).wait()
+
+    return kernel
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("n_c_tiles", "a_slots", "b_slots", "depth", "ogroup",
+                     "max_panel", "interpret", "precision", "out_dtype",
+                     "nbuf"),
+)
+def _run_pallas_panel(tile_ptr, a_packed, b_packed, a_tiles_t, b_tiles,
+                      n_c_tiles: int, a_slots: int, b_slots: int,
+                      depth: int = 4, ogroup: int = 8, max_panel: int = 4,
+                      interpret: bool = False, precision: str = "default",
+                      out_dtype=jnp.float32, nbuf: int = 2):
+    """``a_tiles_t``: k-transposed A tiles, (n_a, tk, tm)."""
+    W = a_packed.shape[0]
+    tk, tm = a_tiles_t.shape[1], a_tiles_t.shape[2]
+    tn = b_tiles.shape[2]
+    n_groups = -(-n_c_tiles // ogroup)
+    out_dtype = jnp.dtype(out_dtype)
+    scratch = [
+        pltpu.VMEM((a_slots * tk, tm), a_tiles_t.dtype),
+        pltpu.VMEM((b_slots * tk, tn), b_tiles.dtype),
+        pltpu.SemaphoreType.DMA((a_slots,)),
+        pltpu.SemaphoreType.DMA((b_slots,)),
+    ]
+    scratch += [pltpu.VMEM((ogroup, tm, tn), jnp.float32)
+                for _ in range(nbuf)]
+    if out_dtype != jnp.float32:
+        scratch += [pltpu.VMEM((ogroup, tm, tn), out_dtype)
+                    for _ in range(nbuf)]
+    scratch.append(pltpu.SemaphoreType.DMA((nbuf,)))
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=3,
+        grid=(n_groups,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pltpu.ANY),
+        ],
+        out_specs=pl.BlockSpec(memory_space=pltpu.ANY),
+        scratch_shapes=scratch,
+    )
+    itemsize = jnp.dtype(a_tiles_t.dtype).itemsize
+    out = pl.pallas_call(
+        _make_panel_kernel(W, n_groups, depth, ogroup, tk, max_panel,
+                           _resolve_precision(precision),
+                           out_dtype=out_dtype, nbuf=nbuf),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct(
+            (n_groups * ogroup, tm, tn), out_dtype
+        ),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * W * tm * tk * tn,
+            bytes_accessed=W * (tm * tk + tk * tn) * itemsize
+            + n_c_tiles * tm * tn * out_dtype.itemsize,
+            transcendentals=0,
+        ),
+        interpret=interpret,
+        name="spada_panel",
+    )(tile_ptr, a_packed, b_packed, a_tiles_t, b_tiles)
+    return out[:n_c_tiles]
+
+
+def run_worklist_panel(a_tiles, b_tiles, a_ids, b_ids, o_ids,
+                       n_c_tiles: int, a_slots: int = 12, b_slots: int = 16,
+                       depth: int = 4, ogroup: int = 8, max_panel: int = 4,
+                       interpret: Optional[bool] = None,
+                       precision: str = "default",
+                       out_dtype=jnp.float32, nbuf: int = 2,
+                       a_tiles_t=None):
+    """Panel-dot engine; returns (c_tiles, a_plan, b_plan).
+
+    ``a_tiles`` may be passed pre-transposed via ``a_tiles_t`` (n, tk, tm)
+    to keep the one-time layout change off the device graph; otherwise it
+    is transposed on device.
+    """
+    from spada_tpu.ops.panelplan import plan_panel_cache
+
+    if interpret is None:
+        interpret = not _on_tpu()
+    o = np.asarray(o_ids)
+    if len(a_ids) > _MAX_ITEMS_PER_LAUNCH:
+        outs = []
+        for o_lo, o_hi, w_lo, w_hi in _split_by_items(
+            o_ids, n_c_tiles, _MAX_ITEMS_PER_LAUNCH
+        ):
+            c, _, _ = run_worklist_panel(
+                a_tiles, b_tiles, a_ids[w_lo:w_hi], b_ids[w_lo:w_hi],
+                o[w_lo:w_hi] - o_lo, o_hi - o_lo, a_slots=a_slots,
+                b_slots=b_slots, depth=depth, ogroup=ogroup,
+                max_panel=max_panel, interpret=interpret,
+                precision=precision, out_dtype=out_dtype, nbuf=nbuf,
+                a_tiles_t=a_tiles_t,
+            )
+            outs.append(c)
+        return jnp.concatenate(outs, axis=0), None, None
+    tm, tk = a_tiles.shape[1], a_tiles.shape[2]
+    tn = b_tiles.shape[2]
+    isz = np.dtype(a_tiles.dtype).itemsize
+    # VMEM fit (12 MiB): shrink ogroup for the accumulators, then slots
+    total = 12 * 1024 * 1024
+    while ogroup > 1 and 2 * ogroup * tm * tn * 4 > total // 2:
+        ogroup //= 2
+    budget = total - 2 * ogroup * tm * tn * 4
+    need = (a_slots * tk * tm + b_slots * tk * tn) * isz
+    floor = max_panel + depth + 2
+    if need > budget:
+        scale = budget / need
+        a_slots = max(floor, int(a_slots * scale))
+        b_slots = max(floor, int(b_slots * scale))
+    n_groups = -(-n_c_tiles // ogroup)
+    run_ptr = np.searchsorted(o, np.arange(n_c_tiles + 1)).astype(np.int64)
+    a_plan = plan_panel_cache(a_ids, run_ptr, a_slots, depth, max_panel)
+    b_plan = plan_panel_cache(b_ids, run_ptr, b_slots, depth, max_panel)
+    apk = _pack_plan(a_ids, a_plan)
+    bpk = _pack_plan(b_ids, b_plan)
+    tile_ptr = np.searchsorted(
+        o, np.arange(n_groups * ogroup + 1)
+    ).astype(np.int32)
+    if a_tiles_t is None:
+        a_tiles_t = jnp.swapaxes(jnp.asarray(a_tiles), 1, 2)
+    c = _run_pallas_panel(
+        jnp.asarray(tile_ptr), jnp.asarray(apk), jnp.asarray(bpk),
+        jnp.asarray(a_tiles_t), jnp.asarray(b_tiles),
+        n_c_tiles=n_c_tiles, a_slots=a_slots, b_slots=b_slots,
+        depth=depth, ogroup=ogroup, max_panel=max_panel,
+        interpret=bool(interpret), precision=precision,
+        out_dtype=out_dtype, nbuf=nbuf,
+    )
+    return c, a_plan, b_plan

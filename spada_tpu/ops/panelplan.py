@@ -1,0 +1,171 @@
+"""Host-side panel-granular VMEM cache planning for the panel-dot kernel.
+
+The cached kernel (:mod:`spada_tpu.ops.engine`) dots one (tm, tk) x (tk, tn)
+tile pair per work item and accumulates each C tile's run in a f32 VMEM
+buffer — on the banded benchmark that read-modify-write VPU traffic plus the
+per-item scalar/MXU dependence chain caps MXU utilization at ~45%.  The
+panel-dot engine removes the per-item accumulate entirely: a C tile's whole
+run becomes ONE ``dot_general`` over k-concatenated VMEM panels, with the
+MXU accumulating internally across the contraction.  That requires the run's
+A (resp. B) tiles to sit in *adjacent* cache slots, which is this planner's
+job: a greedy adjacency-preserving slot assignment, the panel-granular
+sibling of the Belady planner in :mod:`spada_tpu.ops.cacheplan`.
+
+Reuse is recognized in two forms (both common under row-major o-sorted
+worklists of k-local structure, e.g. banded matrices, where consecutive runs
+of one A row-panel share a shifting k-window — the same locality the
+reference's fiber cache exploits online, storage.rs:460-1007):
+
+- **full-panel hit** — every tile of the run is already resident in
+  consecutive slots (any placement, including as an infix of a longer
+  earlier panel): zero loads;
+- **tail extension** — a prefix of the run is resident ending exactly at
+  the allocation cursor: only the suffix is loaded, extending the block.
+
+Everything else allocates a fresh contiguous block at the cursor (wrapping
+to 0 when the run would straddle the ring end — panels never wrap) and
+loads every tile.  Runs longer than ``max_panel`` are planned as
+length-1 sub-runs; the kernel dots those per item (fallback path), so the
+plan stays valid for arbitrary run lengths.
+
+Pipeline-safety: same contract as ``plan_tile_cache`` — the kernel issues
+item ``w``'s DMA ``depth`` items ahead — with one panel-specific extension:
+a panel's slots are read at the run's *dot*, which happens after the whole
+run has been prefetched, so every slot of a run ending at item ``hi-1`` is
+protected until ``hi-1`` (not just until the item that nominally occupies
+it).  A load for item ``w`` may overwrite a slot only if its protection
+horizon is before ``w - depth``.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import numpy as np
+
+
+@dataclasses.dataclass
+class PanelPlan:
+    slot: np.ndarray     # int32 [W] VMEM slot of each item's tile; items of
+    #                      a panel-dotted run occupy consecutive slots
+    load: np.ndarray     # int32 [W] 1 if the slot must be DMA-loaded
+    n_slots: int
+    n_loads: int
+    max_panel: int       # runs longer than this were planned per-item
+
+    @property
+    def hit_rate(self) -> float:
+        return 1.0 - self.n_loads / max(len(self.load), 1)
+
+
+def plan_panel_cache(tile_ids: np.ndarray, run_ptr: np.ndarray,
+                     n_slots: int, depth: int = 4,
+                     max_panel: int = 4) -> PanelPlan:
+    """Adjacency-preserving slot assignment for one operand's tile stream.
+
+    ``run_ptr`` is the int CSR pointer [R+1] of C-tile runs over the
+    o-sorted item stream (``searchsorted(o_ids, arange(n_c_tiles+1))``).
+    """
+    assert n_slots >= max_panel + depth + 2, (n_slots, max_panel, depth)
+    assert n_slots <= 256, "packed encoding carries 8 slot bits"
+    tile_ids = np.asarray(tile_ids, dtype=np.int64)
+    run_ptr = np.asarray(run_ptr, dtype=np.int64)
+    W = len(tile_ids)
+    slot_of = np.full(W, -1, np.int32)
+    load = np.zeros(W, np.int32)
+    if W == 0:
+        return PanelPlan(slot_of, load, n_slots, 0, max_panel)
+
+    NEG = -(10 ** 9)
+    resident: dict = {}                       # tile -> current slot
+    slot_tile = np.full(n_slots, -1, np.int64)
+    # protection horizon: last item index whose DOT still reads this slot
+    slot_prot = np.full(n_slots, NEG, np.int64)
+    cursor = 0
+    n_loads = 0
+
+    def place(w: int, t: int, s: int, protect: int, is_load: bool):
+        nonlocal n_loads
+        old = slot_tile[s]
+        if is_load and old >= 0 and resident.get(int(old)) == s:
+            del resident[int(old)]
+        resident[int(t)] = s
+        slot_tile[s] = t
+        slot_of[w] = s
+        slot_prot[s] = protect
+        if is_load:
+            load[w] = 1
+            n_loads += 1
+
+    def window_safe(s0: int, n: int, w0: int) -> bool:
+        # slots s0..s0+n-1 get loads for items w0..w0+n-1
+        return bool(np.all(slot_prot[s0:s0 + n]
+                           < np.arange(w0, w0 + n) - depth))
+
+    def alloc_fresh(w0: int, tiles, protect: int) -> None:
+        nonlocal cursor
+        L = len(tiles)
+        start = cursor if cursor + L <= n_slots else 0
+        first = start
+        while not window_safe(start, L, w0):
+            start += 1
+            if start + L > n_slots:
+                start = 0
+            if start == first:
+                raise RuntimeError("panel plan deadlock: raise n_slots")
+        for i, t in enumerate(tiles):
+            place(w0 + i, int(t), start + i, protect, is_load=True)
+        cursor = start + L
+        if cursor >= n_slots:
+            cursor = 0
+
+    for r in range(len(run_ptr) - 1):
+        lo, hi = int(run_ptr[r]), int(run_ptr[r + 1])
+        L = hi - lo
+        if L <= 0:
+            continue
+        if L > max_panel:
+            # per-item fallback: the kernel dots these item-by-item (cached
+            # kernel semantics), so each slot is protected only to its item
+            for w in range(lo, hi):
+                t = int(tile_ids[w])
+                s = resident.get(t, -1)
+                if s >= 0:
+                    place(w, t, s, w, is_load=False)
+                else:
+                    alloc_fresh(w, [t], w)
+            continue
+        tiles = tile_ids[lo:hi]
+        last = hi - 1  # the run's dot reads every panel slot at this item
+        # full-panel hit: all tiles resident in consecutive slots
+        s0 = resident.get(int(tiles[0]), -1)
+        if s0 >= 0 and s0 + L <= n_slots and all(
+            resident.get(int(tiles[i]), -1) == s0 + i for i in range(1, L)
+        ):
+            for i in range(L):
+                place(lo + i, int(tiles[i]), s0 + i, last, is_load=False)
+            continue
+        # tail extension: longest resident prefix ending exactly at cursor
+        ext = 0
+        for p in range(min(L - 1, cursor), 0, -1):
+            if cursor + (L - p) > n_slots:
+                continue
+            if all(resident.get(int(tiles[i]), -1) == cursor - p + i
+                   for i in range(p)) \
+                    and window_safe(cursor, L - p, lo + p):
+                ext = p
+                break
+        if ext:
+            for i in range(ext):
+                place(lo + i, int(tiles[i]), cursor - ext + i, last,
+                      is_load=False)
+            for i in range(ext, L):
+                place(lo + i, int(tiles[i]), cursor + i - ext, last,
+                      is_load=True)
+            cursor += L - ext
+            if cursor >= n_slots:
+                cursor = 0
+            continue
+        alloc_fresh(lo, tiles, last)
+
+    return PanelPlan(slot_of, load, n_slots, n_loads, max_panel)

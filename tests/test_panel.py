@@ -1,0 +1,156 @@
+"""Panel-dot engine: planner invariants + kernel numerics (interpret).
+
+The panel planner (spada_tpu/ops/panelplan.py) must place every run's tiles
+in consecutive slots and never let a prefetch overwrite a slot a pending
+dot still reads; the kernel (engine.run_worklist_panel) must match the XLA
+oracle on structures with and without the per-item fallback path.
+"""
+
+import numpy as np
+import pytest
+
+from spada_tpu.io.workloads import banded_csr
+from spada_tpu.ops.engine import run_worklist_panel, run_worklist_xla
+from spada_tpu.ops.panelplan import plan_panel_cache
+from spada_tpu.ops.worklist import build_worklist
+from spada_tpu.sparse.bsr import BsrMatrix
+
+
+def _check_plan_invariants(ids, run_ptr, plan, depth, max_panel):
+    """Re-simulate the plan and assert every guarantee the kernel needs."""
+    ids = np.asarray(ids, np.int64)
+    n_runs = len(run_ptr) - 1
+    # 1. adjacency: runs <= max_panel occupy consecutive slots
+    for r in range(n_runs):
+        lo, hi = int(run_ptr[r]), int(run_ptr[r + 1])
+        if 0 < hi - lo <= max_panel:
+            s = plan.slot[lo:hi]
+            assert np.all(np.diff(s) == 1), (r, s)
+            assert s[-1] < plan.n_slots
+    # 2. content: replay loads; at each run's dot, the slot holds the tile
+    slot_content = np.full(plan.n_slots, -1, np.int64)
+    w_of_run = np.searchsorted(run_ptr, np.arange(len(ids)), "right") - 1
+    for w in range(len(ids)):
+        if plan.load[w]:
+            slot_content[plan.slot[w]] = ids[w]
+        r = w_of_run[w]
+        lo, hi = int(run_ptr[r]), int(run_ptr[r + 1])
+        if hi - lo > max_panel:
+            # fallback dots item-by-item: check at the item itself
+            assert slot_content[plan.slot[w]] == ids[w], w
+        elif w == hi - 1:
+            # panel dot happens after the run's last prefetch: every
+            # member slot must still hold its tile
+            for i in range(lo, hi):
+                assert slot_content[plan.slot[i]] == ids[i], (w, i)
+    # 3. hazard: a load for item w must not overwrite a slot that any
+    # unfinished earlier dot still needs, given depth-ahead prefetch
+    # (covered by 2: content is checked at dot time after all overwrites
+    # that the schedule permits). Additionally check the plan's own margin:
+    for w in range(len(ids)):
+        if not plan.load[w]:
+            continue
+        s = plan.slot[w]
+        # find the latest earlier item that read s and the dot consuming it
+        for w2 in range(w - 1, -1, -1):
+            if plan.slot[w2] == s:
+                r2 = w_of_run[w2]
+                hi2 = int(run_ptr[r2 + 1])
+                protect = w2 if hi2 - int(run_ptr[r2]) > max_panel \
+                    else hi2 - 1
+                assert protect < w - depth, (w, w2, s)
+                break
+
+
+@pytest.mark.parametrize("max_panel", [1, 2, 4])
+def test_plan_invariants_banded(max_panel):
+    a = banded_csr(512, 512, bandwidth=96, seed=0, dtype=np.float32)
+    b = banded_csr(512, 512, bandwidth=96, seed=1, dtype=np.float32)
+    A = BsrMatrix.from_csr(a, 64, 64, dtype=np.float32)
+    B = BsrMatrix.from_csr(b, 64, 64, dtype=np.float32)
+    wl = build_worklist(A, B, order="row")
+    run_ptr = np.searchsorted(np.asarray(wl.o_tid),
+                              np.arange(wl.n_c_tiles + 1)).astype(np.int64)
+    depth = 3
+    for ids, slots in ((wl.a_tid, 12), (wl.b_tid, 16)):
+        plan = plan_panel_cache(ids, run_ptr, slots, depth, max_panel)
+        _check_plan_invariants(ids, run_ptr, plan, depth, max_panel)
+        assert plan.n_loads <= len(ids)
+
+
+def test_plan_reuses_via_adjacency():
+    # identical consecutive runs: the second must be a full-panel hit
+    ids = np.array([7, 8, 9, 7, 8, 9], np.int64)
+    run_ptr = np.array([0, 3, 6], np.int64)
+    plan = plan_panel_cache(ids, run_ptr, 12, depth=2, max_panel=4)
+    assert plan.n_loads == 3
+    assert np.array_equal(plan.slot[:3], plan.slot[3:])
+    # shifted k-window: second run extends the first's tail
+    ids = np.array([7, 8, 8, 9], np.int64)
+    run_ptr = np.array([0, 2, 4], np.int64)
+    plan = plan_panel_cache(ids, run_ptr, 12, depth=0, max_panel=4)
+    assert plan.n_loads == 3  # 7,8 loaded; 8 reused; 9 extends
+    assert plan.slot[2] == plan.slot[1]
+
+
+def test_plan_random_streams_fuzz():
+    rng = np.random.default_rng(0)
+    for trial in range(20):
+        n_runs = 40
+        lens = rng.integers(1, 8, n_runs)
+        run_ptr = np.zeros(n_runs + 1, np.int64)
+        run_ptr[1:] = np.cumsum(lens)
+        ids = rng.integers(0, 25, int(run_ptr[-1])).astype(np.int64)
+        # distinct tiles within a run (worklists never repeat k in a run)
+        for r in range(n_runs):
+            lo, hi = run_ptr[r], run_ptr[r + 1]
+            seg = np.unique(ids[lo:hi])
+            ids[lo:lo + len(seg)] = seg
+            ids[lo + len(seg):hi] = seg[-1] + 1 + np.arange(hi - lo
+                                                            - len(seg))
+        depth = int(rng.integers(0, 4))
+        plan = plan_panel_cache(ids, run_ptr, 16, depth, max_panel=4)
+        _check_plan_invariants(ids, run_ptr, plan, depth, 4)
+
+
+@pytest.mark.parametrize("max_panel", [1, 3, 4])
+def test_panel_engine_matches_oracle(max_panel):
+    a = banded_csr(1024, 1024, bandwidth=96, seed=0, dtype=np.float32)
+    b = banded_csr(1024, 1024, bandwidth=96, seed=1, dtype=np.float32)
+    A = BsrMatrix.from_csr(a, 64, 64, dtype=np.float32)
+    B = BsrMatrix.from_csr(b, 64, 64, dtype=np.float32)
+    wl = build_worklist(A, B, order="row")
+    ref = np.asarray(run_worklist_xla(
+        A.tiles, B.tiles, wl.a_tid, wl.b_tid, wl.o_tid,
+        n_c_tiles=wl.n_c_tiles, precision="highest"))
+    c, _, _ = run_worklist_panel(
+        A.tiles, B.tiles, wl.a_tid, wl.b_tid, wl.o_tid,
+        n_c_tiles=wl.n_c_tiles, interpret=True, precision="highest",
+        max_panel=max_panel)
+    scale = np.abs(ref).max()
+    assert np.max(np.abs(np.asarray(c) - ref)) < 1e-4 * max(scale, 1.0)
+
+
+def test_panel_engine_gap_tiles_and_pretransposed():
+    # C tile ids with gaps (empty tiles between runs) + a_tiles_t path
+    rng = np.random.default_rng(1)
+    T, nk = 16, 5
+    a_tiles = rng.normal(size=(nk, T, T)).astype(np.float32)
+    b_tiles = rng.normal(size=(nk, T, T)).astype(np.float32)
+    a_ids = np.array([0, 1, 2, 3, 4, 1], np.int64)
+    b_ids = np.array([0, 1, 2, 0, 3, 4], np.int64)
+    o_ids = np.array([0, 0, 0, 3, 3, 6], np.int64)  # tiles 1,2,4,5 empty
+    n_c = 7
+    ref = np.asarray(run_worklist_xla(
+        a_tiles, b_tiles, a_ids, b_ids, o_ids, n_c_tiles=n_c,
+        precision="highest"))
+    import jax.numpy as jnp
+    at_t = jnp.asarray(np.ascontiguousarray(a_tiles.transpose(0, 2, 1)))
+    c, _, _ = run_worklist_panel(
+        a_tiles, b_tiles, a_ids, b_ids, o_ids, n_c_tiles=n_c,
+        interpret=True, precision="highest", max_panel=2,
+        a_tiles_t=at_t)
+    # empty C tiles carry unspecified data (no-memset contract, same as the
+    # cached engine: build_worklist only emits nonempty C tiles)
+    nonempty = np.unique(o_ids)
+    assert np.max(np.abs(np.asarray(c)[nonempty] - ref[nonempty])) < 1e-4
