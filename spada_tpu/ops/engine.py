@@ -1093,24 +1093,49 @@ def run_worklist_panel(a_tiles, b_tiles, a_ids, b_ids, o_ids,
                        interpret: Optional[bool] = None,
                        precision: str = "default",
                        out_dtype=jnp.float32, nbuf: int = 2,
-                       a_tiles_t=None):
-    """Panel-dot engine; returns (c_tiles, a_plan, b_plan).
+                       a_tiles_t=None, run_order: Optional[str] = None,
+                       c_rows=None, c_cols=None):
+    """Panel-dot engine; returns (c_tiles, a_plan, b_plan, run_perm).
 
     ``a_tiles`` may be passed pre-transposed via ``a_tiles_t`` (n, tk, tm)
     to keep the one-time layout change off the device graph; otherwise it
     is transposed on device.
+
+    ``run_order`` ('row' | 'col' | 'diag' | 'auto', needs ``c_rows`` /
+    ``c_cols``) permutes the C-tile processing order to maximize panel
+    adjacency reuse; the returned ``run_perm`` maps output position ->
+    original C tile index (None = identity).  'auto' plans all traversals
+    and takes the fewest total loads.
     """
-    from spada_tpu.ops.panelplan import plan_panel_cache
+    from spada_tpu.ops.panelplan import (
+        choose_run_order, order_runs, permute_runs, plan_panel_cache)
 
     if interpret is None:
         interpret = not _on_tpu()
     o = np.asarray(o_ids)
+    run_perm = None
+    if run_order is not None and run_order != "row" and n_c_tiles > 0:
+        assert c_rows is not None and c_cols is not None, \
+            "run_order needs c_rows/c_cols"
+        run_ptr0 = np.searchsorted(
+            o, np.arange(n_c_tiles + 1)).astype(np.int64)
+        if run_order == "auto":
+            run_order, run_perm, _ = choose_run_order(
+                a_ids, b_ids, run_ptr0, c_rows, c_cols,
+                a_slots, b_slots, depth, max_panel)
+        else:
+            run_perm = order_runs(c_rows, c_cols, run_order)
+        if run_order == "row":
+            run_perm = None  # auto picked the identity traversal
+        else:
+            _, o, a_ids, b_ids = permute_runs(
+                run_perm, run_ptr0, a_ids, b_ids)
     if len(a_ids) > _MAX_ITEMS_PER_LAUNCH:
         outs = []
         for o_lo, o_hi, w_lo, w_hi in _split_by_items(
-            o_ids, n_c_tiles, _MAX_ITEMS_PER_LAUNCH
+            o, n_c_tiles, _MAX_ITEMS_PER_LAUNCH
         ):
-            c, _, _ = run_worklist_panel(
+            c, _, _, _ = run_worklist_panel(
                 a_tiles, b_tiles, a_ids[w_lo:w_hi], b_ids[w_lo:w_hi],
                 o[w_lo:w_hi] - o_lo, o_hi - o_lo, a_slots=a_slots,
                 b_slots=b_slots, depth=depth, ogroup=ogroup,
@@ -1119,7 +1144,7 @@ def run_worklist_panel(a_tiles, b_tiles, a_ids, b_ids, o_ids,
                 a_tiles_t=a_tiles_t,
             )
             outs.append(c)
-        return jnp.concatenate(outs, axis=0), None, None
+        return jnp.concatenate(outs, axis=0), None, None, run_perm
     tm, tk = a_tiles.shape[1], a_tiles.shape[2]
     tn = b_tiles.shape[2]
     isz = np.dtype(a_tiles.dtype).itemsize
@@ -1153,4 +1178,4 @@ def run_worklist_panel(a_tiles, b_tiles, a_ids, b_ids, o_ids,
         interpret=bool(interpret), precision=precision,
         out_dtype=out_dtype, nbuf=nbuf,
     )
-    return c, a_plan, b_plan
+    return c, a_plan, b_plan, run_perm

@@ -169,3 +169,88 @@ def plan_panel_cache(tile_ids: np.ndarray, run_ptr: np.ndarray,
         alloc_fresh(lo, tiles, last)
 
     return PanelPlan(slot_of, load, n_slots, n_loads, max_panel)
+
+
+# --------------------------------------------------------------------------
+# Run-order adaptivity
+# --------------------------------------------------------------------------
+#
+# The order in which C tiles are processed is free: the engine emits tiles
+# in processing order and callers carry (c_tile_row, c_tile_col) metadata,
+# so no gather is needed to "restore" an order.  Different traversals favor
+# different operands' panel adjacency:
+#
+# - row-major (ci, cj): consecutive runs share one A row-panel whose k
+#   window shifts -> A tail-extends, B streams;
+# - col-major (cj, ci): symmetric — B tail-extends, A streams;
+# - diagonal (cj - ci, ci): for k-local structure (banded and
+#   near-banded), BOTH operands' k windows shift by one step per run ->
+#   both tail-extend.
+#
+# ``choose_run_order`` plans both operands under each candidate and picks
+# the minimum total loads — the reference's rowwise/colwise adaptive
+# dataflow decision (scheduler.rs:675-700, colwise_reg_adjust.rs:47-109)
+# re-realized as a plan-time traversal choice that drives a real kernel.
+
+_RUN_ORDERS = ("row", "col", "diag")
+
+
+def order_runs(c_row: np.ndarray, c_col: np.ndarray,
+               order: str) -> np.ndarray:
+    """Permutation of run (C tile) indices for a traversal order."""
+    c_row = np.asarray(c_row, np.int64)
+    c_col = np.asarray(c_col, np.int64)
+    if order == "row":
+        key = (c_row, c_col)
+    elif order == "col":
+        key = (c_col, c_row)
+    elif order == "diag":
+        key = (c_col - c_row, c_row)
+    else:
+        raise ValueError(f"unknown run order {order!r}")
+    return np.lexsort(key[::-1])
+
+
+def permute_runs(perm: np.ndarray, run_ptr: np.ndarray,
+                 *item_arrays) -> tuple:
+    """Reorder the item stream by run permutation; within-run order kept.
+
+    Returns (new_run_ptr, relabeled_o_ids, *permuted_item_arrays) where the
+    relabeled o ids are the runs' ranks in the new order (sorted ascending,
+    so the grouped kernel machinery applies unchanged).
+    """
+    run_ptr = np.asarray(run_ptr, np.int64)
+    lens = np.diff(run_ptr)[perm]
+    new_ptr = np.zeros(len(perm) + 1, np.int64)
+    new_ptr[1:] = np.cumsum(lens)
+    # item index map: for each new position, the old item index
+    idx = np.concatenate(
+        [np.arange(run_ptr[p], run_ptr[p + 1]) for p in perm]
+    ) if len(perm) else np.zeros(0, np.int64)
+    o_new = np.repeat(np.arange(len(perm), dtype=np.int64), lens)
+    return (new_ptr, o_new) + tuple(np.asarray(a)[idx] for a in item_arrays)
+
+
+def choose_run_order(a_ids, b_ids, run_ptr, c_row, c_col,
+                     a_slots: int, b_slots: int, depth: int = 4,
+                     max_panel: int = 4, sample_items: int = 100_000):
+    """Pick the traversal with the fewest planned loads.
+
+    Returns (order, perm, total_loads_per_order dict).  Planning cost is
+    bounded by ``sample_items``: longer streams are judged on a prefix.
+    """
+    run_ptr = np.asarray(run_ptr, np.int64)
+    best, best_perm, totals = None, None, {}
+    for order in _RUN_ORDERS:
+        perm = order_runs(c_row, c_col, order)
+        new_ptr, _, a_p, b_p = permute_runs(perm, run_ptr, a_ids, b_ids)
+        if len(a_p) > sample_items:
+            r_hi = int(np.searchsorted(new_ptr, sample_items))
+            new_ptr = new_ptr[:r_hi + 1]
+            a_p, b_p = a_p[:new_ptr[-1]], b_p[:new_ptr[-1]]
+        pa = plan_panel_cache(a_p, new_ptr, a_slots, depth, max_panel)
+        pb = plan_panel_cache(b_p, new_ptr, b_slots, depth, max_panel)
+        totals[order] = pa.n_loads + pb.n_loads
+        if best is None or totals[order] < totals[best]:
+            best, best_perm = order, perm
+    return best, best_perm, totals

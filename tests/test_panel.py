@@ -123,7 +123,7 @@ def test_panel_engine_matches_oracle(max_panel):
     ref = np.asarray(run_worklist_xla(
         A.tiles, B.tiles, wl.a_tid, wl.b_tid, wl.o_tid,
         n_c_tiles=wl.n_c_tiles, precision="highest"))
-    c, _, _ = run_worklist_panel(
+    c, _, _, _ = run_worklist_panel(
         A.tiles, B.tiles, wl.a_tid, wl.b_tid, wl.o_tid,
         n_c_tiles=wl.n_c_tiles, interpret=True, precision="highest",
         max_panel=max_panel)
@@ -146,7 +146,7 @@ def test_panel_engine_gap_tiles_and_pretransposed():
         precision="highest"))
     import jax.numpy as jnp
     at_t = jnp.asarray(np.ascontiguousarray(a_tiles.transpose(0, 2, 1)))
-    c, _, _ = run_worklist_panel(
+    c, _, _, _ = run_worklist_panel(
         a_tiles, b_tiles, a_ids, b_ids, o_ids, n_c_tiles=n_c,
         interpret=True, precision="highest", max_panel=2,
         a_tiles_t=at_t)
@@ -154,3 +154,47 @@ def test_panel_engine_gap_tiles_and_pretransposed():
     # cached engine: build_worklist only emits nonempty C tiles)
     nonempty = np.unique(o_ids)
     assert np.max(np.abs(np.asarray(c)[nonempty] - ref[nonempty])) < 1e-4
+
+
+@pytest.mark.parametrize("run_order", ["col", "diag", "auto"])
+def test_panel_engine_run_orders(run_order):
+    a = banded_csr(1024, 1024, bandwidth=96, seed=0, dtype=np.float32)
+    b = banded_csr(1024, 1024, bandwidth=96, seed=1, dtype=np.float32)
+    A = BsrMatrix.from_csr(a, 64, 64, dtype=np.float32)
+    B = BsrMatrix.from_csr(b, 64, 64, dtype=np.float32)
+    wl = build_worklist(A, B, order="row")
+    ref = np.asarray(run_worklist_xla(
+        A.tiles, B.tiles, wl.a_tid, wl.b_tid, wl.o_tid,
+        n_c_tiles=wl.n_c_tiles, precision="highest"))
+    c, _, _, perm = run_worklist_panel(
+        A.tiles, B.tiles, wl.a_tid, wl.b_tid, wl.o_tid,
+        n_c_tiles=wl.n_c_tiles, interpret=True, precision="highest",
+        run_order=run_order, c_rows=wl.c_tile_row, c_cols=wl.c_tile_col)
+    c = np.asarray(c)
+    if perm is not None:
+        # output position p holds original C tile perm[p]
+        inv = np.empty_like(perm)
+        inv[perm] = np.arange(len(perm))
+        c = c[inv]
+    scale = np.abs(ref).max()
+    assert np.max(np.abs(c - ref)) < 1e-4 * max(scale, 1.0)
+
+
+def test_order_chooser_picks_argmin():
+    # A-panel reuse lives along rows (same A row, shifting k window),
+    # B-panel reuse along columns; the chooser must pick whichever
+    # traversal plans the fewest loads for the given slot split.
+    from spada_tpu.ops.panelplan import choose_run_order
+    a = banded_csr(4096, 4096, bandwidth=96, seed=0, dtype=np.float32)
+    b = banded_csr(4096, 4096, bandwidth=96, seed=1, dtype=np.float32)
+    A = BsrMatrix.from_csr(a, 64, 64, dtype=np.float32)
+    B = BsrMatrix.from_csr(b, 64, 64, dtype=np.float32)
+    wl = build_worklist(A, B, order="row")
+    run_ptr = np.searchsorted(np.asarray(wl.o_tid),
+                              np.arange(wl.n_c_tiles + 1)).astype(np.int64)
+    order, perm, totals = choose_run_order(
+        wl.a_tid, wl.b_tid, run_ptr, wl.c_tile_row, wl.c_tile_col,
+        a_slots=12, b_slots=16, depth=4, max_panel=4)
+    assert set(totals) == {"row", "col", "diag"}
+    assert totals[order] == min(totals.values()), totals
+    assert len(perm) == wl.n_c_tiles
