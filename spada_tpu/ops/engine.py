@@ -77,11 +77,17 @@ def run_worklist(wl, a_tiles, b_tiles, precision: str = "highest",
     if eng in ("streaming", "cached") and precision == "highest" \
             and engine is None:
         eng = "xla"
-    if eng == "cached" and (
+    if eng in ("cached", "panel") and (
         len(wl.a_tid) == 0
         or max(int(np.max(wl.a_tid)), int(np.max(wl.b_tid))) >= (1 << 22)
     ):
         eng = "streaming" if len(wl.a_tid) else "xla"
+    if eng == "panel":
+        c, _, _, _ = run_worklist_panel(
+            a_tiles, b_tiles, wl.a_tid, wl.b_tid, wl.o_tid,
+            n_c_tiles=wl.n_c_tiles, precision=precision,
+        )
+        return c
     if eng == "streaming":
         return run_worklist_streaming(
             a_tiles, b_tiles, wl.a_tid, wl.b_tid, wl.o_tid,
