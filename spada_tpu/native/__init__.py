@@ -74,6 +74,13 @@ def load() -> Optional[ctypes.CDLL]:
             ctypes.POINTER(ctypes.c_int64), ctypes.POINTER(ctypes.c_int32),
             ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_int32),
         ]
+        lib.plan_panel_cache.restype = ctypes.c_int64
+        lib.plan_panel_cache.argtypes = [
+            ctypes.POINTER(ctypes.c_int64), ctypes.c_int64,
+            ctypes.POINTER(ctypes.c_int64), ctypes.c_int64,
+            ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
+            ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_int32),
+        ]
         lib.traffic_simulate.restype = ctypes.c_int
         lib.traffic_simulate.argtypes = [
             ctypes.POINTER(ctypes.c_int64), ctypes.POINTER(ctypes.c_int32),
@@ -138,6 +145,27 @@ def plan_tile_cache(tile_ids, n_slots: int, depth: int):
     ld = np.empty(len(ids), dtype=np.int32)
     n = lib.plan_tile_cache(
         _ptr(ids, ctypes.c_int64), len(ids), n_slots, depth,
+        _ptr(slot, ctypes.c_int32), _ptr(ld, ctypes.c_int32),
+    )
+    if n < 0:
+        return None
+    return slot, ld, int(n)
+
+
+def plan_panel_cache(tile_ids, run_ptr, n_slots: int, depth: int,
+                     max_panel: int):
+    """Native panel-adjacency plan; returns (slot, load, n_loads) or None."""
+    lib = load()
+    if lib is None:
+        return None
+    ids = np.ascontiguousarray(tile_ids, dtype=np.int64)
+    ptr = np.ascontiguousarray(run_ptr, dtype=np.int64)
+    slot = np.empty(len(ids), dtype=np.int32)
+    ld = np.empty(len(ids), dtype=np.int32)
+    n = lib.plan_panel_cache(
+        _ptr(ids, ctypes.c_int64), len(ids),
+        _ptr(ptr, ctypes.c_int64), len(ptr) - 1,
+        n_slots, depth, max_panel,
         _ptr(slot, ctypes.c_int32), _ptr(ld, ctypes.c_int32),
     )
     if n < 0:

@@ -76,6 +76,15 @@ def plan_panel_cache(tile_ids: np.ndarray, run_ptr: np.ndarray,
     if W == 0:
         return PanelPlan(slot_of, load, n_slots, 0, max_panel)
 
+    # native fast path (identical decisions; parity-tested)
+    from spada_tpu import native
+
+    res = native.plan_panel_cache(tile_ids, run_ptr, n_slots, depth,
+                                  max_panel)
+    if res is not None:
+        slot_n, load_n, n_loads = res
+        return PanelPlan(slot_n, load_n, n_slots, n_loads, max_panel)
+
     NEG = -(10 ** 9)
     resident: dict = {}                       # tile -> current slot
     slot_tile = np.full(n_slots, -1, np.int64)

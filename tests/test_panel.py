@@ -198,3 +198,34 @@ def test_order_chooser_picks_argmin():
     assert set(totals) == {"row", "col", "diag"}
     assert totals[order] == min(totals.values()), totals
     assert len(perm) == wl.n_c_tiles
+
+
+def test_native_panel_plan_matches_python():
+    from spada_tpu import native
+
+    if native.load() is None:
+        pytest.skip("no native toolchain")
+    rng = np.random.default_rng(7)
+    for trial in range(10):
+        n_runs = 60
+        lens = rng.integers(1, 9, n_runs)
+        run_ptr = np.zeros(n_runs + 1, np.int64)
+        run_ptr[1:] = np.cumsum(lens)
+        ids = rng.integers(0, 30, int(run_ptr[-1])).astype(np.int64)
+        for r in range(n_runs):
+            lo, hi = run_ptr[r], run_ptr[r + 1]
+            seg = np.unique(ids[lo:hi])
+            ids[lo:lo + len(seg)] = seg
+            ids[lo + len(seg):hi] = seg[-1] + 1 + np.arange(
+                hi - lo - len(seg))
+        depth = int(rng.integers(0, 4))
+        nat = plan_panel_cache(ids, run_ptr, 16, depth, 4)
+        orig = native.plan_panel_cache
+        native.plan_panel_cache = lambda *a, **k: None
+        try:
+            py = plan_panel_cache(ids, run_ptr, 16, depth, 4)
+        finally:
+            native.plan_panel_cache = orig
+        assert np.array_equal(nat.slot, py.slot), trial
+        assert np.array_equal(nat.load, py.load), trial
+        assert nat.n_loads == py.n_loads
