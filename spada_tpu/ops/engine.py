@@ -887,7 +887,8 @@ def run_worklist_cached(a_tiles, b_tiles, a_ids, b_ids, o_ids,
 
 def _make_panel_kernel(n_items: int, n_groups: int, depth: int, ogroup: int,
                        tk: int, max_panel: int, precision,
-                       out_dtype=jnp.float32, nbuf: int = 2):
+                       out_dtype=jnp.float32, nbuf: int = 2,
+                       xpose: bool = False):
     def kernel(tile_ptr_ref, a_pk_ref, b_pk_ref,
                a_hbm, b_hbm, c_hbm, acache, bcache, asem, bsem, *obufs):
         csem = obufs[-1]
@@ -949,9 +950,19 @@ def _make_panel_kernel(n_items: int, n_groups: int, depth: int, ogroup: int,
             return sa, sb
 
         def panel_dot(sa0, sb0, L):
+            x = acache[pl.ds(sa0 * tk, L * tk)]
+            if xpose:
+                # explicit relayout before a canonical (1,0)-contraction —
+                # kept as an A/B switch in case Mosaic's transposed-lhs
+                # matmul path lowers poorly on some toolchains
+                return jax.lax.dot_general(
+                    x.T, bcache[pl.ds(sb0 * tk, L * tk)],
+                    dimension_numbers=(((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                    precision=precision,
+                )
             return jax.lax.dot_general(
-                acache[pl.ds(sa0 * tk, L * tk)],
-                bcache[pl.ds(sb0 * tk, L * tk)],
+                x, bcache[pl.ds(sb0 * tk, L * tk)],
                 dimension_numbers=(((0,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32,
                 precision=precision,
@@ -1034,13 +1045,14 @@ def _make_panel_kernel(n_items: int, n_groups: int, depth: int, ogroup: int,
     jax.jit,
     static_argnames=("n_c_tiles", "a_slots", "b_slots", "depth", "ogroup",
                      "max_panel", "interpret", "precision", "out_dtype",
-                     "nbuf"),
+                     "nbuf", "xpose"),
 )
 def _run_pallas_panel(tile_ptr, a_packed, b_packed, a_tiles_t, b_tiles,
                       n_c_tiles: int, a_slots: int, b_slots: int,
                       depth: int = 4, ogroup: int = 8, max_panel: int = 4,
                       interpret: bool = False, precision: str = "default",
-                      out_dtype=jnp.float32, nbuf: int = 2):
+                      out_dtype=jnp.float32, nbuf: int = 2,
+                      xpose: bool = False):
     """``a_tiles_t``: k-transposed A tiles, (n_a, tk, tm)."""
     W = a_packed.shape[0]
     tk, tm = a_tiles_t.shape[1], a_tiles_t.shape[2]
@@ -1073,7 +1085,7 @@ def _run_pallas_panel(tile_ptr, a_packed, b_packed, a_tiles_t, b_tiles,
     out = pl.pallas_call(
         _make_panel_kernel(W, n_groups, depth, ogroup, tk, max_panel,
                            _resolve_precision(precision),
-                           out_dtype=out_dtype, nbuf=nbuf),
+                           out_dtype=out_dtype, nbuf=nbuf, xpose=xpose),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct(
             (n_groups * ogroup, tm, tn), out_dtype
@@ -1100,7 +1112,7 @@ def run_worklist_panel(a_tiles, b_tiles, a_ids, b_ids, o_ids,
                        precision: str = "default",
                        out_dtype=jnp.float32, nbuf: int = 2,
                        a_tiles_t=None, run_order: Optional[str] = None,
-                       c_rows=None, c_cols=None):
+                       c_rows=None, c_cols=None, xpose: bool = False):
     """Panel-dot engine; returns (c_tiles, a_plan, b_plan, run_perm).
 
     ``a_tiles`` may be passed pre-transposed via ``a_tiles_t`` (n, tk, tm)
@@ -1182,6 +1194,6 @@ def run_worklist_panel(a_tiles, b_tiles, a_ids, b_ids, o_ids,
         n_c_tiles=n_c_tiles, a_slots=a_slots, b_slots=b_slots,
         depth=depth, ogroup=ogroup, max_panel=max_panel,
         interpret=bool(interpret), precision=precision,
-        out_dtype=out_dtype, nbuf=nbuf,
+        out_dtype=out_dtype, nbuf=nbuf, xpose=xpose,
     )
     return c, a_plan, b_plan, run_perm

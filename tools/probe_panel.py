@@ -104,6 +104,7 @@ def main():
         "panel": (panel_row_fn, (at_t, bt)),
     }
     for name, order, kw in [
+        ("panel-xp", "row", dict()),
         ("panel-col", "col", {}),
         ("panel-og12", "row", dict(ogroup=12)),
         ("panel-og4", "row", dict(ogroup=4)),
@@ -113,10 +114,12 @@ def main():
     ]:
         (tp, ap_, bp_), kw_ = panel_args(order, **kw)
         nbuf = 3 if name == "panel-nb" else 2
+        xp = name == "panel-xp"
         variants[name] = (
             (lambda at_t_, bt_, tp=tp, ap_=ap_, bp_=bp_, kw_=kw_,
-             nbuf=nbuf: _run_pallas_panel(tp, ap_, bp_, at_t_, bt_,
-                                          nbuf=nbuf, **kw_)),
+             nbuf=nbuf, xp=xp: _run_pallas_panel(tp, ap_, bp_, at_t_, bt_,
+                                                 nbuf=nbuf, xpose=xp,
+                                                 **kw_)),
             (at_t, bt),
         )
     for name in (sys.argv[1:] or ["cached", "panel", "panel-col",
