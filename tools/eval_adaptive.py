@@ -76,6 +76,50 @@ def time_worklist(wl, a_tiles, b_tiles, rt):
     return device_time(eng, (at, bt), k=8, trials=3, roundtrip=rt)
 
 
+def time_worklist_panel(wl, a_tiles, b_tiles, rt):
+    """Panel-dot engine seconds (one MXU dot per C-tile run)."""
+    import jax.numpy as jnp
+
+    from spada_tpu.ops.engine import _pack_plan, _run_pallas_panel
+    from spada_tpu.ops.panelplan import plan_panel_cache
+    from spada_tpu.utils.timing import device_time
+
+    if wl.n_items == 0:
+        return 0.0
+    from spada_tpu.ops import engine as eng_mod
+
+    if wl.n_items > eng_mod._MAX_ITEMS_PER_LAUNCH:
+        return float("nan")  # slab timing not wired for the panel probe
+    T = max(a_tiles.shape[1], a_tiles.shape[2], b_tiles.shape[2])
+    if T >= 384:
+        a_slots, b_slots, depth, mp, ogroup = 9, 10, 3, 4, 6
+    else:
+        a_slots, b_slots, depth, mp, ogroup = 12, 16, 4, 4, 8
+    run_ptr = np.searchsorted(
+        np.asarray(wl.o_tid), np.arange(wl.n_c_tiles + 1)).astype(np.int64)
+    pa = plan_panel_cache(wl.a_tid, run_ptr, a_slots, depth, mp)
+    pb = plan_panel_cache(wl.b_tid, run_ptr, b_slots, depth, mp)
+    apk = jnp.asarray(_pack_plan(wl.a_tid, pa))
+    bpk = jnp.asarray(_pack_plan(wl.b_tid, pb))
+    ng = -(-wl.n_c_tiles // ogroup)
+    ip = jnp.asarray(np.searchsorted(
+        np.asarray(wl.o_tid), np.arange(ng * ogroup + 1)
+    ).astype(np.int32))
+    at_t = jnp.asarray(np.ascontiguousarray(
+        a_tiles.transpose(0, 2, 1))).astype(jnp.bfloat16)
+    bt = jnp.asarray(b_tiles).astype(jnp.bfloat16)
+
+    def eng(at_t_, bt_):
+        return _run_pallas_panel(
+            ip, apk, bpk, at_t_, bt_, n_c_tiles=wl.n_c_tiles,
+            a_slots=a_slots, b_slots=b_slots, depth=depth, ogroup=ogroup,
+            max_panel=mp, interpret=False, precision="default",
+            out_dtype=jnp.bfloat16,
+        )
+
+    return device_time(eng, (at_t, bt), k=8, trials=3, roundtrip=rt)
+
+
 def time_element(a, b, rt):
     """ESC element-engine seconds (the dispatch's scattered-structure path)."""
     import jax.numpy as jnp
@@ -183,6 +227,14 @@ def main():
             results[label] = (el, wl.n_items)
             print(f"{name} {label}: {el*1e3:.2f}ms W={wl.n_items}",
                   flush=True)
+            if tm == t_best and wl.n_items:
+                try:
+                    elp = time_worklist_panel(
+                        wl, a_bsr.tiles, b_bsr.tiles, rt)
+                    results["panel"] = (elp, wl.n_items)
+                    print(f"{name} panel: {elp*1e3:.2f}ms", flush=True)
+                except Exception as e:
+                    print(f"{name} panel: failed ({e})", flush=True)
 
         # spada plan: per-segment engine time
         plan = plan_spgemm(a, b, cfg)
