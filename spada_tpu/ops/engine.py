@@ -981,20 +981,16 @@ def _make_panel_kernel(n_items: int, n_groups: int, depth: int, ogroup: int,
                 hi = tile_ptr_ref[base + j + 1]
                 L = hi - lo
 
-                @pl.when((L > 0) & (L <= max_panel))
-                def _(lo=lo, L=L, j=j):
-                    # prefetch + wait the whole run, then one panel dot
-                    def wbody(w, _):
-                        prep_item(w)
-                        return 0
-
-                    jax.lax.fori_loop(lo, lo + L, wbody, 0, unroll=False)
-                    sa0 = (a_pk_ref[lo] >> 1) & 255
-                    sb0 = (b_pk_ref[lo] >> 1) & 255
-                    for Lb in range(1, max_panel + 1):
-                        @pl.when(L == Lb)
-                        def _(Lb=Lb):
-                            acc[j] = panel_dot(sa0, sb0, Lb)
+                # length-specialized branches: statically-unrolled prefetch
+                # + waits for the run, then ONE panel dot of exactly L tiles
+                for Lb in range(1, max_panel + 1):
+                    @pl.when(L == Lb)
+                    def _(lo=lo, Lb=Lb, j=j):
+                        for i in range(Lb):
+                            prep_item(lo + i)
+                        sa0 = (a_pk_ref[lo] >> 1) & 255
+                        sb0 = (b_pk_ref[lo] >> 1) & 255
+                        acc[j] = panel_dot(sa0, sb0, Lb)
 
                 @pl.when(L > max_panel)
                 def _(lo=lo, hi=hi, j=j):

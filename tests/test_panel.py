@@ -229,3 +229,21 @@ def test_native_panel_plan_matches_python():
         assert np.array_equal(nat.slot, py.slot), trial
         assert np.array_equal(nat.load, py.load), trial
         assert nat.n_loads == py.n_loads
+
+
+def test_panel_engine_long_runs_max_panel8():
+    # runs of length 4-7 with max_panel=8: every run is one panel dot
+    a = banded_csr(1024, 1024, bandwidth=192, seed=3, dtype=np.float32)
+    A = BsrMatrix.from_csr(a, 32, 32, dtype=np.float32)
+    wl = build_worklist(A, A, order="row")
+    counts = np.bincount(np.asarray(wl.o_tid))
+    assert counts.max() >= 5  # exercises the wider branches
+    ref = np.asarray(run_worklist_xla(
+        A.tiles, A.tiles, wl.a_tid, wl.b_tid, wl.o_tid,
+        n_c_tiles=wl.n_c_tiles, precision="highest"))
+    c, _, _, _ = run_worklist_panel(
+        A.tiles, A.tiles, wl.a_tid, wl.b_tid, wl.o_tid,
+        n_c_tiles=wl.n_c_tiles, interpret=True, precision="highest",
+        max_panel=8, a_slots=16, b_slots=20, depth=4)
+    scale = np.abs(ref).max()
+    assert np.max(np.abs(np.asarray(c) - ref)) < 1e-4 * max(scale, 1.0)
