@@ -52,7 +52,7 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--window-k", type=int, default=None,
                    help="traffic mode: A-scalars per window (default full-K)")
     p.add_argument("--engine", default=None,
-                   choices=["auto", "streaming", "cached", "xla",
+                   choices=["auto", "streaming", "cached", "panel", "xla",
                             "pallas_grid"],
                    help="tile engine override (default: config/auto)")
     p.add_argument("--dtype", default=None,

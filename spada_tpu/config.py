@@ -59,7 +59,7 @@ class SpadaConfig:
     default_tm: int = 128
     dataflow: str = "spada"              # 'spada' | 'ip' | 'op' | 'rowwise'
     vmem_limit_bytes: Optional[int] = None
-    engine: str = "auto"                 # 'auto' | 'streaming' | 'cached' | 'xla' | 'pallas_grid'
+    engine: str = "auto"                 # 'auto' | 'streaming' | 'cached' | 'panel' | 'xla' | 'pallas_grid'
     engine_dtype: str = "float32"        # tile dtype: 'float32' | 'bfloat16'
     use_pallas: Optional[bool] = None    # legacy: True forces 'pallas_grid'
     precision: str = "highest"           # 'highest' (true f32) | 'default' (bf16 MXU)
