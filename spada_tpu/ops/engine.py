@@ -1,10 +1,16 @@
 """Numeric phase: the block-sparse tile-product engines.
 
-Four interchangeable engines compute C tiles from a :class:`WorkList`
+Five interchangeable engines compute C tiles from a :class:`WorkList`
 (fastest first on TPU; measured at n=64k banded, bf16 tiles):
 
-- :func:`run_worklist_cached` — **the flagship TPU kernel** (~3.4x the XLA
-  engine).  Grid step = ``ogroup`` consecutive C tiles (amortizing the
+- :func:`run_worklist_panel` — one MXU dot per C-tile run over
+  k-concatenated VMEM panels placed by the adjacency-preserving planner
+  (:mod:`spada_tpu.ops.panelplan`); removes the cached kernel's per-item
+  f32 accumulate read-modify-write entirely (the MXU accumulates across
+  the contraction internally).  Built for short-run worklists (run length
+  <= max_panel); longer runs fall back to per-item dots.
+- :func:`run_worklist_cached` — the round-1 flagship TPU kernel (~3.4x the
+  XLA engine).  Grid step = ``ogroup`` consecutive C tiles (amortizing the
   ~0.7us/step pipeline overhead); A/B tiles live in slot-addressed VMEM
   caches whose Belady load/evict schedule is host-planned
   (:mod:`spada_tpu.ops.cacheplan`) — the reference's fiber cache
