@@ -151,20 +151,16 @@ def main() -> int:
         # kernel).  Constructed lazily and gated below; any failure
         # (Mosaic rejection, VMEM overflow) falls back to the cached kernel.
         def _build_panel_engine():
-            from spada_tpu.ops.engine import _run_pallas_panel
-            from spada_tpu.ops.panelplan import plan_panel_cache
+            from spada_tpu.ops.engine import (_run_pallas_panel,
+                                              panel_launch_args)
 
             pa_slots, pb_slots, pdepth, pnp, pog = 9, 10, 3, 4, 6
-            run_ptr = np.searchsorted(
-                np.asarray(wl.o_tid), np.arange(nC + 1)).astype(np.int64)
-            pa = plan_panel_cache(wl.a_tid, run_ptr, pa_slots, pdepth, pnp)
-            pb = plan_panel_cache(wl.b_tid, run_ptr, pb_slots, pdepth, pnp)
-            papk = jnp.asarray(_pack_plan(wl.a_tid, pa))
-            pbpk = jnp.asarray(_pack_plan(wl.b_tid, pb))
-            pn_groups = -(-nC // pog)
-            ptile_ptr = jnp.asarray(np.searchsorted(
-                np.asarray(wl.o_tid), np.arange(pn_groups * pog + 1)
-            ).astype(np.int32))
+            tile_ptr_p, papk_n, pbpk_n, pa, pb = panel_launch_args(
+                wl.a_tid, wl.b_tid, wl.o_tid, nC, a_slots=pa_slots,
+                b_slots=pb_slots, depth=pdepth, max_panel=pnp, ogroup=pog)
+            ptile_ptr = jnp.asarray(tile_ptr_p)
+            papk = jnp.asarray(papk_n)
+            pbpk = jnp.asarray(pbpk_n)
             at_t = jnp.asarray(np.ascontiguousarray(
                 a_bsr.tiles.transpose(0, 2, 1))).astype(tile_dtype)
 
@@ -238,7 +234,7 @@ def main() -> int:
     panel_info = {}
     if on_tpu:
         try:
-            panel_engine, at_t, _, _ = _build_panel_engine()
+            panel_engine, at_t, pa, pb = _build_panel_engine()
             panel_relerr = float(_make_relerr(panel_engine)(at_t, at, bt))
             if not panel_relerr < 2e-2:
                 raise ValueError(f"panel gate relerr={panel_relerr:.3e}")
@@ -247,6 +243,12 @@ def main() -> int:
             panel_info = {
                 "panel_elapsed_ms": round(panel_elapsed * 1e3, 3),
                 "panel_relerr": round(panel_relerr, 6),
+                # the panel engine's own planned HBM traffic (its plans
+                # duplicate tiles for adjacency, so this sits between the
+                # Belady unique-byte and naive streaming bounds)
+                "panel_hbm_gb": round(
+                    ((pa.n_loads * tm * tk + pb.n_loads * tk * tn) * isz
+                     + nC * tm * tn * 2) / 1e9, 3),
             }
             if panel_elapsed < elapsed:
                 engine_used = "panel"

@@ -80,8 +80,12 @@ def run_worklist(wl, a_tiles, b_tiles, precision: str = "highest",
     compiles the same HIGHEST contraction in seconds.
     """
     eng = engine or select_engine(wl.order)
-    if eng in ("streaming", "cached") and precision == "highest" \
-            and engine is None:
+    # HIGHEST is only runnable on the XLA engine on hardware: the f32-exact
+    # dot expansion inside the Pallas kernels' loops is the pathological
+    # Mosaic-compile case, so even explicit Pallas engine choices reroute
+    # (explicit choices still run interpreted off-TPU, e.g. in tests)
+    if eng in ("streaming", "cached", "panel") and precision == "highest" \
+            and (engine is None or _on_tpu()):
         eng = "xla"
     if eng in ("cached", "panel") and (
         len(wl.a_tid) == 0
@@ -1107,6 +1111,30 @@ def _run_pallas_panel(tile_ptr, a_packed, b_packed, a_tiles_t, b_tiles,
     return out[:n_c_tiles]
 
 
+def panel_launch_args(a_ids, b_ids, o_ids, n_c_tiles: int, *,
+                      a_slots: int, b_slots: int, depth: int,
+                      max_panel: int, ogroup: int):
+    """Host-side launch state for the panel kernel: grouped C-tile pointer,
+    packed per-item plan words, and the two panel plans.
+
+    Single source of truth for the run_ptr/plan/pack/tile_ptr sequence —
+    used by :func:`run_worklist_panel`, bench.py, and the eval/probe tools.
+    """
+    from spada_tpu.ops.panelplan import plan_panel_cache
+
+    o = np.asarray(o_ids)
+    n_groups = -(-n_c_tiles // ogroup)
+    run_ptr = np.searchsorted(o, np.arange(n_c_tiles + 1)).astype(np.int64)
+    a_plan = plan_panel_cache(a_ids, run_ptr, a_slots, depth, max_panel)
+    b_plan = plan_panel_cache(b_ids, run_ptr, b_slots, depth, max_panel)
+    apk = _pack_plan(a_ids, a_plan)
+    bpk = _pack_plan(b_ids, b_plan)
+    tile_ptr = np.searchsorted(
+        o, np.arange(n_groups * ogroup + 1)
+    ).astype(np.int32)
+    return tile_ptr, apk, bpk, a_plan, b_plan
+
+
 def run_worklist_panel(a_tiles, b_tiles, a_ids, b_ids, o_ids,
                        n_c_tiles: int, a_slots: int = 12, b_slots: int = 16,
                        depth: int = 4, ogroup: int = 8, max_panel: int = 4,
@@ -1128,11 +1156,26 @@ def run_worklist_panel(a_tiles, b_tiles, a_ids, b_ids, o_ids,
     and takes the fewest total loads.
     """
     from spada_tpu.ops.panelplan import (
-        choose_run_order, order_runs, permute_runs, plan_panel_cache)
+        choose_run_order, order_runs, permute_runs)
 
     if interpret is None:
         interpret = not _on_tpu()
     o = np.asarray(o_ids)
+    tm, tk = a_tiles.shape[1], a_tiles.shape[2]
+    tn = b_tiles.shape[2]
+    isz = np.dtype(a_tiles.dtype).itemsize
+    # VMEM fit (12 MiB) BEFORE traversal choice, so 'auto' ranks the orders
+    # under the slot counts the kernel actually launches with
+    total = 12 * 1024 * 1024
+    while ogroup > 1 and 2 * ogroup * tm * tn * 4 > total // 2:
+        ogroup //= 2
+    budget = total - 2 * ogroup * tm * tn * 4
+    need = (a_slots * tk * tm + b_slots * tk * tn) * isz
+    floor = max_panel + depth + 2
+    if need > budget:
+        scale = budget / need
+        a_slots = max(floor, int(a_slots * scale))
+        b_slots = max(floor, int(b_slots * scale))
     run_perm = None
     if run_order is not None and run_order != "row" and n_c_tiles > 0:
         assert c_rows is not None and c_cols is not None, \
@@ -1161,33 +1204,13 @@ def run_worklist_panel(a_tiles, b_tiles, a_ids, b_ids, o_ids,
                 b_slots=b_slots, depth=depth, ogroup=ogroup,
                 max_panel=max_panel, interpret=interpret,
                 precision=precision, out_dtype=out_dtype, nbuf=nbuf,
-                a_tiles_t=a_tiles_t,
+                a_tiles_t=a_tiles_t, xpose=xpose,
             )
             outs.append(c)
         return jnp.concatenate(outs, axis=0), None, None, run_perm
-    tm, tk = a_tiles.shape[1], a_tiles.shape[2]
-    tn = b_tiles.shape[2]
-    isz = np.dtype(a_tiles.dtype).itemsize
-    # VMEM fit (12 MiB): shrink ogroup for the accumulators, then slots
-    total = 12 * 1024 * 1024
-    while ogroup > 1 and 2 * ogroup * tm * tn * 4 > total // 2:
-        ogroup //= 2
-    budget = total - 2 * ogroup * tm * tn * 4
-    need = (a_slots * tk * tm + b_slots * tk * tn) * isz
-    floor = max_panel + depth + 2
-    if need > budget:
-        scale = budget / need
-        a_slots = max(floor, int(a_slots * scale))
-        b_slots = max(floor, int(b_slots * scale))
-    n_groups = -(-n_c_tiles // ogroup)
-    run_ptr = np.searchsorted(o, np.arange(n_c_tiles + 1)).astype(np.int64)
-    a_plan = plan_panel_cache(a_ids, run_ptr, a_slots, depth, max_panel)
-    b_plan = plan_panel_cache(b_ids, run_ptr, b_slots, depth, max_panel)
-    apk = _pack_plan(a_ids, a_plan)
-    bpk = _pack_plan(b_ids, b_plan)
-    tile_ptr = np.searchsorted(
-        o, np.arange(n_groups * ogroup + 1)
-    ).astype(np.int32)
+    tile_ptr, apk, bpk, a_plan, b_plan = panel_launch_args(
+        a_ids, b_ids, o, n_c_tiles, a_slots=a_slots, b_slots=b_slots,
+        depth=depth, max_panel=max_panel, ogroup=ogroup)
     if a_tiles_t is None:
         a_tiles_t = jnp.swapaxes(jnp.asarray(a_tiles), 1, 2)
     c = _run_pallas_panel(

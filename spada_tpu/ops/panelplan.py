@@ -252,11 +252,16 @@ def choose_run_order(a_ids, b_ids, run_ptr, c_row, c_col,
     best, best_perm, totals = None, None, {}
     for order in _RUN_ORDERS:
         perm = order_runs(c_row, c_col, order)
-        new_ptr, _, a_p, b_p = permute_runs(perm, run_ptr, a_ids, b_ids)
-        if len(a_p) > sample_items:
-            r_hi = int(np.searchsorted(new_ptr, sample_items))
-            new_ptr = new_ptr[:r_hi + 1]
-            a_p, b_p = a_p[:new_ptr[-1]], b_p[:new_ptr[-1]]
+        # bound the judging cost BEFORE permuting: keep only the run
+        # prefix covering ~sample_items items
+        lens = np.diff(run_ptr)[perm]
+        csum = np.cumsum(lens)
+        if csum[-1] > sample_items:
+            r_hi = int(np.searchsorted(csum, sample_items)) + 1
+            perm_t = perm[:r_hi]
+        else:
+            perm_t = perm
+        new_ptr, _, a_p, b_p = permute_runs(perm_t, run_ptr, a_ids, b_ids)
         pa = plan_panel_cache(a_p, new_ptr, a_slots, depth, max_panel)
         pb = plan_panel_cache(b_p, new_ptr, b_slots, depth, max_panel)
         totals[order] = pa.n_loads + pb.n_loads

@@ -233,7 +233,7 @@ def test_native_panel_plan_matches_python():
 
 def test_panel_engine_long_runs_max_panel8():
     # runs of length 4-7 with max_panel=8: every run is one panel dot
-    a = banded_csr(1024, 1024, bandwidth=192, seed=3, dtype=np.float32)
+    a = banded_csr(512, 512, bandwidth=192, seed=3, dtype=np.float32)
     A = BsrMatrix.from_csr(a, 32, 32, dtype=np.float32)
     wl = build_worklist(A, A, order="row")
     counts = np.bincount(np.asarray(wl.o_tid))

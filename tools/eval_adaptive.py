@@ -80,8 +80,7 @@ def time_worklist_panel(wl, a_tiles, b_tiles, rt):
     """Panel-dot engine seconds (one MXU dot per C-tile run)."""
     import jax.numpy as jnp
 
-    from spada_tpu.ops.engine import _pack_plan, _run_pallas_panel
-    from spada_tpu.ops.panelplan import plan_panel_cache
+    from spada_tpu.ops.engine import _run_pallas_panel, panel_launch_args
     from spada_tpu.utils.timing import device_time
 
     if wl.n_items == 0:
@@ -95,16 +94,11 @@ def time_worklist_panel(wl, a_tiles, b_tiles, rt):
         a_slots, b_slots, depth, mp, ogroup = 9, 10, 3, 4, 6
     else:
         a_slots, b_slots, depth, mp, ogroup = 12, 16, 4, 4, 8
-    run_ptr = np.searchsorted(
-        np.asarray(wl.o_tid), np.arange(wl.n_c_tiles + 1)).astype(np.int64)
-    pa = plan_panel_cache(wl.a_tid, run_ptr, a_slots, depth, mp)
-    pb = plan_panel_cache(wl.b_tid, run_ptr, b_slots, depth, mp)
-    apk = jnp.asarray(_pack_plan(wl.a_tid, pa))
-    bpk = jnp.asarray(_pack_plan(wl.b_tid, pb))
-    ng = -(-wl.n_c_tiles // ogroup)
-    ip = jnp.asarray(np.searchsorted(
-        np.asarray(wl.o_tid), np.arange(ng * ogroup + 1)
-    ).astype(np.int32))
+    ip_n, apk_n, bpk_n, _, _ = panel_launch_args(
+        wl.a_tid, wl.b_tid, wl.o_tid, wl.n_c_tiles, a_slots=a_slots,
+        b_slots=b_slots, depth=depth, max_panel=mp, ogroup=ogroup)
+    ip, apk, bpk = (jnp.asarray(ip_n), jnp.asarray(apk_n),
+                    jnp.asarray(bpk_n))
     at_t = jnp.asarray(np.ascontiguousarray(
         a_tiles.transpose(0, 2, 1))).astype(jnp.bfloat16)
     bt = jnp.asarray(b_tiles).astype(jnp.bfloat16)

@@ -25,10 +25,9 @@ def main():
     )
     from spada_tpu.io.workloads import banded_csr
     from spada_tpu.ops.engine import (_pack_plan, _run_pallas_cached,
-                                      _run_pallas_panel)
+                                      _run_pallas_panel, panel_launch_args)
     from spada_tpu.ops.cacheplan import plan_tile_cache
-    from spada_tpu.ops.panelplan import (order_runs, permute_runs,
-                                         plan_panel_cache)
+    from spada_tpu.ops.panelplan import order_runs, permute_runs
     from spada_tpu.ops.worklist import build_worklist
     from spada_tpu.sparse.bsr import BsrMatrix
     from spada_tpu.utils.timing import device_time, measure_roundtrip
@@ -58,19 +57,16 @@ def main():
         if order != "row":
             perm = order_runs(wl.c_tile_row, wl.c_tile_col, order)
             _, o, a_ids, b_ids = permute_runs(perm, run_ptr0, a_ids, b_ids)
-        run_ptr = np.searchsorted(o, np.arange(nC + 1)).astype(np.int64)
-        pa = plan_panel_cache(a_ids, run_ptr, a_slots, depth, max_panel)
-        pb = plan_panel_cache(b_ids, run_ptr, b_slots, depth, max_panel)
-        n_groups = -(-nC // ogroup)
-        tile_ptr = np.searchsorted(
-            o, np.arange(n_groups * ogroup + 1)).astype(np.int32)
+        tile_ptr, apk, bpk, pa, pb = panel_launch_args(
+            a_ids, b_ids, o, nC, a_slots=a_slots, b_slots=b_slots,
+            depth=depth, max_panel=max_panel, ogroup=ogroup)
         kw = dict(n_c_tiles=nC, a_slots=a_slots, b_slots=b_slots,
                   depth=depth, ogroup=ogroup, max_panel=max_panel,
                   precision="default")
         print(f"  [{order} s={a_slots}/{b_slots} d={depth} og={ogroup} "
               f"np={max_panel}] loads a {pa.n_loads} b {pb.n_loads}")
-        return (jnp.asarray(tile_ptr), jnp.asarray(_pack_plan(a_ids, pa)),
-                jnp.asarray(_pack_plan(b_ids, pb))), kw
+        return (jnp.asarray(tile_ptr), jnp.asarray(apk),
+                jnp.asarray(bpk)), kw
 
     # correctness gate: panel vs cached, both bf16 on device
     a_plan = plan_tile_cache(wl.a_tid, 6, 4)
