@@ -115,8 +115,8 @@ def test_plan_random_streams_fuzz():
 
 @pytest.mark.parametrize("max_panel", [1, 3, 4])
 def test_panel_engine_matches_oracle(max_panel):
-    a = banded_csr(1024, 1024, bandwidth=96, seed=0, dtype=np.float32)
-    b = banded_csr(1024, 1024, bandwidth=96, seed=1, dtype=np.float32)
+    a = banded_csr(512, 512, bandwidth=96, seed=0, dtype=np.float32)
+    b = banded_csr(512, 512, bandwidth=96, seed=1, dtype=np.float32)
     A = BsrMatrix.from_csr(a, 64, 64, dtype=np.float32)
     B = BsrMatrix.from_csr(b, 64, 64, dtype=np.float32)
     wl = build_worklist(A, B, order="row")
@@ -158,8 +158,8 @@ def test_panel_engine_gap_tiles_and_pretransposed():
 
 @pytest.mark.parametrize("run_order", ["col", "diag", "auto"])
 def test_panel_engine_run_orders(run_order):
-    a = banded_csr(1024, 1024, bandwidth=96, seed=0, dtype=np.float32)
-    b = banded_csr(1024, 1024, bandwidth=96, seed=1, dtype=np.float32)
+    a = banded_csr(512, 512, bandwidth=96, seed=0, dtype=np.float32)
+    b = banded_csr(512, 512, bandwidth=96, seed=1, dtype=np.float32)
     A = BsrMatrix.from_csr(a, 64, 64, dtype=np.float32)
     B = BsrMatrix.from_csr(b, 64, 64, dtype=np.float32)
     wl = build_worklist(A, B, order="row")
