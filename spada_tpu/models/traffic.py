@@ -475,7 +475,6 @@ def _simulate_native(a: CsrMatrix, b: CsrMatrix, config: SpadaConfig,
     """
     from spada_tpu import native
 
-    import scipy.sparse as sp
 
     a_sp = a.to_scipy().astype(bool)
     b_sp = b.to_scipy().astype(bool)

@@ -43,7 +43,6 @@ re-gather (:func:`esc_operands`).
 from __future__ import annotations
 
 import dataclasses
-import functools
 import time
 from typing import List, Optional, Tuple
 
