@@ -527,61 +527,57 @@ int64_t plan_panel_cache(const int64_t* tile_ids, int64_t W,
     };
 
     for (int64_t r = 0; r < n_runs && !deadlock; ++r) {
-        int64_t lo = run_ptr[r], hi = run_ptr[r + 1];
-        int64_t L = hi - lo;
-        if (L <= 0) continue;
-        if (L > max_panel) {
-            for (int64_t w = lo; w < hi && !deadlock; ++w) {
-                int64_t t = tile_ids[w];
-                int64_t s = tile_slot[(size_t)t];
-                if (s >= 0) place(w, t, s, w, false);
-                else alloc_fresh(w, &tile_ids[w], 1, w);
+        int64_t rlo = run_ptr[r], rhi = run_ptr[r + 1];
+        // runs longer than max_panel are placed as aligned max_panel-sized
+        // chunks, each treated exactly like a short run (mirrors the
+        // Python planner chunk-for-chunk)
+        for (int64_t lo = rlo; lo < rhi && !deadlock; lo += max_panel) {
+            int64_t hi = std::min(lo + max_panel, rhi);
+            int64_t L = hi - lo;
+            const int64_t* tiles = &tile_ids[lo];
+            int64_t last = hi - 1;
+            // full-panel hit
+            int64_t s0 = tile_slot[(size_t)tiles[0]];
+            if (s0 >= 0 && s0 + L <= n_slots) {
+                bool all_res = true;
+                for (int64_t i = 1; i < L; ++i)
+                    if (tile_slot[(size_t)tiles[i]] != s0 + i) {
+                        all_res = false;
+                        break;
+                    }
+                if (all_res) {
+                    for (int64_t i = 0; i < L; ++i)
+                        place(lo + i, tiles[i], s0 + i, last, false);
+                    continue;
+                }
             }
-            continue;
-        }
-        const int64_t* tiles = &tile_ids[lo];
-        int64_t last = hi - 1;
-        // full-panel hit
-        int64_t s0 = tile_slot[(size_t)tiles[0]];
-        if (s0 >= 0 && s0 + L <= n_slots) {
-            bool all_res = true;
-            for (int64_t i = 1; i < L; ++i)
-                if (tile_slot[(size_t)tiles[i]] != s0 + i) {
-                    all_res = false;
+            // tail extension: longest resident prefix ending at cursor
+            int64_t ext = 0;
+            int64_t pmax = std::min(L - 1, cursor);
+            for (int64_t p = pmax; p >= 1; --p) {
+                if (cursor + (L - p) > n_slots) continue;
+                bool pre = true;
+                for (int64_t i = 0; i < p; ++i)
+                    if (tile_slot[(size_t)tiles[i]] != cursor - p + i) {
+                        pre = false;
+                        break;
+                    }
+                if (pre && window_safe(cursor, L - p, lo + p)) {
+                    ext = p;
                     break;
                 }
-            if (all_res) {
-                for (int64_t i = 0; i < L; ++i)
-                    place(lo + i, tiles[i], s0 + i, last, false);
+            }
+            if (ext) {
+                for (int64_t i = 0; i < ext; ++i)
+                    place(lo + i, tiles[i], cursor - ext + i, last, false);
+                for (int64_t i = ext; i < L; ++i)
+                    place(lo + i, tiles[i], cursor + i - ext, last, true);
+                cursor += L - ext;
+                if (cursor >= n_slots) cursor = 0;
                 continue;
             }
+            alloc_fresh(lo, tiles, L, last);
         }
-        // tail extension: longest resident prefix ending at cursor
-        int64_t ext = 0;
-        int64_t pmax = std::min(L - 1, cursor);
-        for (int64_t p = pmax; p >= 1; --p) {
-            if (cursor + (L - p) > n_slots) continue;
-            bool pre = true;
-            for (int64_t i = 0; i < p; ++i)
-                if (tile_slot[(size_t)tiles[i]] != cursor - p + i) {
-                    pre = false;
-                    break;
-                }
-            if (pre && window_safe(cursor, L - p, lo + p)) {
-                ext = p;
-                break;
-            }
-        }
-        if (ext) {
-            for (int64_t i = 0; i < ext; ++i)
-                place(lo + i, tiles[i], cursor - ext + i, last, false);
-            for (int64_t i = ext; i < L; ++i)
-                place(lo + i, tiles[i], cursor + i - ext, last, true);
-            cursor += L - ext;
-            if (cursor >= n_slots) cursor = 0;
-            continue;
-        }
-        alloc_fresh(lo, tiles, L, last);
     }
     return deadlock ? -1 : n_loads;
 }

@@ -898,7 +898,14 @@ def run_worklist_cached(a_tiles, b_tiles, a_ids, b_ids, o_ids,
 def _make_panel_kernel(n_items: int, n_groups: int, depth: int, ogroup: int,
                        tk: int, max_panel: int, precision,
                        out_dtype=jnp.float32, nbuf: int = 2,
-                       xpose: bool = False):
+                       xpose: bool = False, short_lens=None,
+                       rem_lens=None, has_long: bool = True):
+    # static branch pruning: only the run/chunk lengths that actually occur
+    # in the plan get emitted (smaller Mosaic programs, faster interpret)
+    if short_lens is None:
+        short_lens = tuple(range(1, max_panel + 1))
+    if rem_lens is None:
+        rem_lens = tuple(range(1, max_panel))
     def kernel(tile_ptr_ref, a_pk_ref, b_pk_ref,
                a_hbm, b_hbm, c_hbm, acache, bcache, asem, bsem, *obufs):
         csem = obufs[-1]
@@ -993,7 +1000,7 @@ def _make_panel_kernel(n_items: int, n_groups: int, depth: int, ogroup: int,
 
                 # length-specialized branches: statically-unrolled prefetch
                 # + waits for the run, then ONE panel dot of exactly L tiles
-                for Lb in range(1, max_panel + 1):
+                for Lb in short_lens:
                     @pl.when(L == Lb)
                     def _(lo=lo, Lb=Lb, j=j):
                         for i in range(Lb):
@@ -1002,18 +1009,42 @@ def _make_panel_kernel(n_items: int, n_groups: int, depth: int, ogroup: int,
                         sb0 = (b_pk_ref[lo] >> 1) & 255
                         acc[j] = panel_dot(sa0, sb0, Lb)
 
-                @pl.when(L > max_panel)
-                def _(lo=lo, hi=hi, j=j):
-                    # per-item fallback (planner placed these per-item)
-                    sa, sb = prep_item(lo)
-                    acc[j] = panel_dot(sa, sb, 1)
+                if not has_long:
+                    continue
 
-                    def body(w, _, j=j):
-                        sa, sb = prep_item(w)
-                        acc[j] += panel_dot(sa, sb, 1)
+                @pl.when(L > max_panel)
+                def _(lo=lo, L=L, j=j):
+                    # long runs: aligned max_panel-sized chunk panels,
+                    # accumulated across chunks (the planner placed each
+                    # chunk contiguously) — one accumulate per chunk
+                    P = max_panel
+
+                    def chunk_slots(w0):
+                        for i in range(P):
+                            prep_item(w0 + i)
+                        return ((a_pk_ref[w0] >> 1) & 255,
+                                (b_pk_ref[w0] >> 1) & 255)
+
+                    sa0, sb0 = chunk_slots(lo)
+                    acc[j] = panel_dot(sa0, sb0, P)
+                    nfull = L // P
+
+                    def body(q, _, j=j, lo=lo):
+                        sa, sb = chunk_slots(lo + q * P)
+                        acc[j] += panel_dot(sa, sb, P)
                         return 0
 
-                    jax.lax.fori_loop(lo + 1, hi, body, 0, unroll=False)
+                    jax.lax.fori_loop(1, nfull, body, 0, unroll=False)
+                    rem = L - nfull * P
+                    w0r = lo + nfull * P
+                    for rr in rem_lens:
+                        @pl.when(rem == rr)
+                        def _(rr=rr, w0r=w0r, j=j):
+                            for i in range(rr):
+                                prep_item(w0r + i)
+                            sa = (a_pk_ref[w0r] >> 1) & 255
+                            sb = (b_pk_ref[w0r] >> 1) & 255
+                            acc[j] += panel_dot(sa, sb, rr)
             if stage is not None:
                 stage[...] = acc[...].astype(out_dtype)
             pltpu.make_async_copy(
@@ -1051,14 +1082,16 @@ def _make_panel_kernel(n_items: int, n_groups: int, depth: int, ogroup: int,
     jax.jit,
     static_argnames=("n_c_tiles", "a_slots", "b_slots", "depth", "ogroup",
                      "max_panel", "interpret", "precision", "out_dtype",
-                     "nbuf", "xpose"),
+                     "nbuf", "xpose", "short_lens", "rem_lens",
+                     "has_long"),
 )
 def _run_pallas_panel(tile_ptr, a_packed, b_packed, a_tiles_t, b_tiles,
                       n_c_tiles: int, a_slots: int, b_slots: int,
                       depth: int = 4, ogroup: int = 8, max_panel: int = 4,
                       interpret: bool = False, precision: str = "default",
                       out_dtype=jnp.float32, nbuf: int = 2,
-                      xpose: bool = False):
+                      xpose: bool = False, short_lens=None, rem_lens=None,
+                      has_long: bool = True):
     """``a_tiles_t``: k-transposed A tiles, (n_a, tk, tm)."""
     W = a_packed.shape[0]
     tk, tm = a_tiles_t.shape[1], a_tiles_t.shape[2]
@@ -1091,7 +1124,9 @@ def _run_pallas_panel(tile_ptr, a_packed, b_packed, a_tiles_t, b_tiles,
     out = pl.pallas_call(
         _make_panel_kernel(W, n_groups, depth, ogroup, tk, max_panel,
                            _resolve_precision(precision),
-                           out_dtype=out_dtype, nbuf=nbuf, xpose=xpose),
+                           out_dtype=out_dtype, nbuf=nbuf, xpose=xpose,
+                           short_lens=short_lens, rem_lens=rem_lens,
+                           has_long=has_long),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct(
             (n_groups * ogroup, tm, tn), out_dtype
@@ -1213,6 +1248,13 @@ def run_worklist_panel(a_tiles, b_tiles, a_ids, b_ids, o_ids,
         depth=depth, max_panel=max_panel, ogroup=ogroup)
     if a_tiles_t is None:
         a_tiles_t = jnp.swapaxes(jnp.asarray(a_tiles), 1, 2)
+    # static branch pruning: emit only run/chunk lengths that occur
+    lens = np.diff(np.searchsorted(o, np.arange(n_c_tiles + 1)))
+    lens = lens[lens > 0]
+    short_lens = tuple(sorted(np.unique(lens[lens <= max_panel]).tolist()))
+    long = lens[lens > max_panel]
+    rems = np.unique(long % max_panel)
+    rem_lens = tuple(sorted(int(x) for x in rems if x > 0))
     c = _run_pallas_panel(
         jnp.asarray(tile_ptr), jnp.asarray(apk), jnp.asarray(bpk),
         jnp.asarray(a_tiles_t), jnp.asarray(b_tiles),
@@ -1220,5 +1262,7 @@ def run_worklist_panel(a_tiles, b_tiles, a_ids, b_ids, o_ids,
         depth=depth, ogroup=ogroup, max_panel=max_panel,
         interpret=bool(interpret), precision=precision,
         out_dtype=out_dtype, nbuf=nbuf, xpose=xpose,
+        short_lens=short_lens, rem_lens=rem_lens,
+        has_long=bool(len(long)),
     )
     return c, a_plan, b_plan, run_perm

@@ -24,9 +24,10 @@ reference's fiber cache exploits online, storage.rs:460-1007):
 
 Everything else allocates a fresh contiguous block at the cursor (wrapping
 to 0 when the run would straddle the ring end — panels never wrap) and
-loads every tile.  Runs longer than ``max_panel`` are planned as
-length-1 sub-runs; the kernel dots those per item (fallback path), so the
-plan stays valid for arbitrary run lengths.
+loads every tile.  Runs longer than ``max_panel`` are planned as aligned
+``max_panel``-sized chunks, each placed like a short run; the kernel dots
+chunk panels and accumulates across them, so arbitrary run lengths keep
+panel-granular MXU work (one accumulate per chunk, not per item).
 
 Pipeline-safety: same contract as ``plan_tile_cache`` — the kernel issues
 item ``w``'s DMA ``depth`` items ahead — with one panel-specific extension:
@@ -129,53 +130,47 @@ def plan_panel_cache(tile_ids: np.ndarray, run_ptr: np.ndarray,
             cursor = 0
 
     for r in range(len(run_ptr) - 1):
-        lo, hi = int(run_ptr[r]), int(run_ptr[r + 1])
-        L = hi - lo
-        if L <= 0:
-            continue
-        if L > max_panel:
-            # per-item fallback: the kernel dots these item-by-item (cached
-            # kernel semantics), so each slot is protected only to its item
-            for w in range(lo, hi):
-                t = int(tile_ids[w])
-                s = resident.get(t, -1)
-                if s >= 0:
-                    place(w, t, s, w, is_load=False)
-                else:
-                    alloc_fresh(w, [t], w)
-            continue
-        tiles = tile_ids[lo:hi]
-        last = hi - 1  # the run's dot reads every panel slot at this item
-        # full-panel hit: all tiles resident in consecutive slots
-        s0 = resident.get(int(tiles[0]), -1)
-        if s0 >= 0 and s0 + L <= n_slots and all(
-            resident.get(int(tiles[i]), -1) == s0 + i for i in range(1, L)
-        ):
-            for i in range(L):
-                place(lo + i, int(tiles[i]), s0 + i, last, is_load=False)
-            continue
-        # tail extension: longest resident prefix ending exactly at cursor
-        ext = 0
-        for p in range(min(L - 1, cursor), 0, -1):
-            if cursor + (L - p) > n_slots:
+        rlo, rhi = int(run_ptr[r]), int(run_ptr[r + 1])
+        # runs longer than max_panel are dotted as aligned max_panel-sized
+        # chunks (accumulated across chunks by the kernel); each chunk is
+        # placed exactly like a short run
+        for lo in range(rlo, rhi, max_panel):
+            hi = min(lo + max_panel, rhi)
+            L = hi - lo
+            tiles = tile_ids[lo:hi]
+            last = hi - 1  # the chunk's dot reads its slots at this item
+            # full-panel hit: all tiles resident in consecutive slots
+            s0 = resident.get(int(tiles[0]), -1)
+            if s0 >= 0 and s0 + L <= n_slots and all(
+                resident.get(int(tiles[i]), -1) == s0 + i
+                for i in range(1, L)
+            ):
+                for i in range(L):
+                    place(lo + i, int(tiles[i]), s0 + i, last,
+                          is_load=False)
                 continue
-            if all(resident.get(int(tiles[i]), -1) == cursor - p + i
-                   for i in range(p)) \
-                    and window_safe(cursor, L - p, lo + p):
-                ext = p
-                break
-        if ext:
-            for i in range(ext):
-                place(lo + i, int(tiles[i]), cursor - ext + i, last,
-                      is_load=False)
-            for i in range(ext, L):
-                place(lo + i, int(tiles[i]), cursor + i - ext, last,
-                      is_load=True)
-            cursor += L - ext
-            if cursor >= n_slots:
-                cursor = 0
-            continue
-        alloc_fresh(lo, tiles, last)
+            # tail extension: longest resident prefix ending at the cursor
+            ext = 0
+            for p in range(min(L - 1, cursor), 0, -1):
+                if cursor + (L - p) > n_slots:
+                    continue
+                if all(resident.get(int(tiles[i]), -1) == cursor - p + i
+                       for i in range(p)) \
+                        and window_safe(cursor, L - p, lo + p):
+                    ext = p
+                    break
+            if ext:
+                for i in range(ext):
+                    place(lo + i, int(tiles[i]), cursor - ext + i, last,
+                          is_load=False)
+                for i in range(ext, L):
+                    place(lo + i, int(tiles[i]), cursor + i - ext, last,
+                          is_load=True)
+                cursor += L - ext
+                if cursor >= n_slots:
+                    cursor = 0
+                continue
+            alloc_fresh(lo, tiles, last)
 
     return PanelPlan(slot_of, load, n_slots, n_loads, max_panel)
 

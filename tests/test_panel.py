@@ -16,49 +16,54 @@ from spada_tpu.ops.worklist import build_worklist
 from spada_tpu.sparse.bsr import BsrMatrix
 
 
+def _chunk_bounds(run_ptr, max_panel):
+    """(lo, hi) of every aligned <=max_panel chunk, in item order."""
+    out = []
+    for r in range(len(run_ptr) - 1):
+        rlo, rhi = int(run_ptr[r]), int(run_ptr[r + 1])
+        for lo in range(rlo, rhi, max_panel):
+            out.append((lo, min(lo + max_panel, rhi)))
+    return out
+
+
 def _check_plan_invariants(ids, run_ptr, plan, depth, max_panel):
-    """Re-simulate the plan and assert every guarantee the kernel needs."""
+    """Re-simulate the plan and assert every guarantee the kernel needs.
+
+    The kernel dots one panel per aligned <=max_panel chunk of each run,
+    after prefetching the chunk's items; so per chunk: slots consecutive,
+    contents intact at the chunk's last item, and no load may overwrite a
+    slot a pending chunk dot still reads (depth-ahead prefetch margin).
+    """
     ids = np.asarray(ids, np.int64)
-    n_runs = len(run_ptr) - 1
-    # 1. adjacency: runs <= max_panel occupy consecutive slots
-    for r in range(n_runs):
-        lo, hi = int(run_ptr[r]), int(run_ptr[r + 1])
-        if 0 < hi - lo <= max_panel:
-            s = plan.slot[lo:hi]
-            assert np.all(np.diff(s) == 1), (r, s)
-            assert s[-1] < plan.n_slots
-    # 2. content: replay loads; at each run's dot, the slot holds the tile
+    chunks = _chunk_bounds(run_ptr, max_panel)
+    chunk_end = np.zeros(len(ids), np.int64)    # item -> its chunk's last
+    for lo, hi in chunks:
+        chunk_end[lo:hi] = hi - 1
+    # 1. adjacency per chunk
+    for lo, hi in chunks:
+        s = plan.slot[lo:hi]
+        assert np.all(np.diff(s) == 1), (lo, hi, s)
+        assert s[-1] < plan.n_slots
+    # 2. content: replay loads; at each chunk's dot, slots hold the tiles
     slot_content = np.full(plan.n_slots, -1, np.int64)
-    w_of_run = np.searchsorted(run_ptr, np.arange(len(ids)), "right") - 1
+    by_end = {}
+    for lo, hi in chunks:
+        by_end.setdefault(hi - 1, []).append((lo, hi))
     for w in range(len(ids)):
         if plan.load[w]:
             slot_content[plan.slot[w]] = ids[w]
-        r = w_of_run[w]
-        lo, hi = int(run_ptr[r]), int(run_ptr[r + 1])
-        if hi - lo > max_panel:
-            # fallback dots item-by-item: check at the item itself
-            assert slot_content[plan.slot[w]] == ids[w], w
-        elif w == hi - 1:
-            # panel dot happens after the run's last prefetch: every
-            # member slot must still hold its tile
+        for lo, hi in by_end.get(w, ()):
             for i in range(lo, hi):
                 assert slot_content[plan.slot[i]] == ids[i], (w, i)
-    # 3. hazard: a load for item w must not overwrite a slot that any
-    # unfinished earlier dot still needs, given depth-ahead prefetch
-    # (covered by 2: content is checked at dot time after all overwrites
-    # that the schedule permits). Additionally check the plan's own margin:
+    # 3. hazard margin: a load's target slot must have been free of
+    # pending-dot protection for at least `depth` items
     for w in range(len(ids)):
         if not plan.load[w]:
             continue
         s = plan.slot[w]
-        # find the latest earlier item that read s and the dot consuming it
         for w2 in range(w - 1, -1, -1):
             if plan.slot[w2] == s:
-                r2 = w_of_run[w2]
-                hi2 = int(run_ptr[r2 + 1])
-                protect = w2 if hi2 - int(run_ptr[r2]) > max_panel \
-                    else hi2 - 1
-                assert protect < w - depth, (w, w2, s)
+                assert chunk_end[w2] < w - depth, (w, w2, s)
                 break
 
 
@@ -113,7 +118,7 @@ def test_plan_random_streams_fuzz():
         _check_plan_invariants(ids, run_ptr, plan, depth, 4)
 
 
-@pytest.mark.parametrize("max_panel", [1, 3, 4])
+@pytest.mark.parametrize("max_panel", [1, 4])
 def test_panel_engine_matches_oracle(max_panel):
     a = banded_csr(512, 512, bandwidth=96, seed=0, dtype=np.float32)
     b = banded_csr(512, 512, bandwidth=96, seed=1, dtype=np.float32)
@@ -156,7 +161,7 @@ def test_panel_engine_gap_tiles_and_pretransposed():
     assert np.max(np.abs(np.asarray(c)[nonempty] - ref[nonempty])) < 1e-4
 
 
-@pytest.mark.parametrize("run_order", ["col", "diag", "auto"])
+@pytest.mark.parametrize("run_order", ["col", "auto"])
 def test_panel_engine_run_orders(run_order):
     a = banded_csr(512, 512, bandwidth=96, seed=0, dtype=np.float32)
     b = banded_csr(512, 512, bandwidth=96, seed=1, dtype=np.float32)
@@ -233,7 +238,7 @@ def test_native_panel_plan_matches_python():
 
 def test_panel_engine_long_runs_max_panel8():
     # runs of length 4-7 with max_panel=8: every run is one panel dot
-    a = banded_csr(512, 512, bandwidth=192, seed=3, dtype=np.float32)
+    a = banded_csr(256, 256, bandwidth=192, seed=3, dtype=np.float32)
     A = BsrMatrix.from_csr(a, 32, 32, dtype=np.float32)
     wl = build_worklist(A, A, order="row")
     counts = np.bincount(np.asarray(wl.o_tid))
