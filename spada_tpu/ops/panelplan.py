@@ -52,7 +52,7 @@ class PanelPlan:
     load: np.ndarray     # int32 [W] 1 if the slot must be DMA-loaded
     n_slots: int
     n_loads: int
-    max_panel: int       # runs longer than this were planned per-item
+    max_panel: int       # chunk size; longer runs were planned as chunks
 
     @property
     def hit_rate(self) -> float:
