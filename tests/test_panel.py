@@ -252,3 +252,25 @@ def test_panel_engine_long_runs_max_panel8():
         max_panel=8, a_slots=16, b_slots=20, depth=4)
     scale = np.abs(ref).max()
     assert np.max(np.abs(np.asarray(c) - ref)) < 1e-4 * max(scale, 1.0)
+
+
+def test_panel_engine_slab_split():
+    # force the >70k-item o-slab path with a tiny cap
+    from spada_tpu.ops import engine as eng
+
+    a = banded_csr(256, 256, bandwidth=96, seed=0, dtype=np.float32)
+    A = BsrMatrix.from_csr(a, 64, 64, dtype=np.float32)
+    wl = build_worklist(A, A, order="row")
+    ref = np.asarray(run_worklist_xla(
+        A.tiles, A.tiles, wl.a_tid, wl.b_tid, wl.o_tid,
+        n_c_tiles=wl.n_c_tiles, precision="highest"))
+    old = eng._MAX_ITEMS_PER_LAUNCH
+    try:
+        eng._MAX_ITEMS_PER_LAUNCH = 23  # force many slabs
+        c, _, _, _ = run_worklist_panel(
+            A.tiles, A.tiles, wl.a_tid, wl.b_tid, wl.o_tid,
+            n_c_tiles=wl.n_c_tiles, interpret=True, precision="highest")
+    finally:
+        eng._MAX_ITEMS_PER_LAUNCH = old
+    scale = np.abs(ref).max()
+    assert np.max(np.abs(np.asarray(c) - ref)) < 1e-4 * max(scale, 1.0)
