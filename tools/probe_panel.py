@@ -121,7 +121,11 @@ def main():
     for name in (sys.argv[1:] or ["cached", "panel", "panel-col",
                                   "panel-og12", "panel-og4", "panel-d8"]):
         fn, args = variants[name]
-        el = device_time(fn, args, k=16, trials=5, roundtrip=rt)
+        try:
+            el = device_time(fn, args, k=16, trials=5, roundtrip=rt)
+        except Exception as e:  # VMEM overflow / Mosaic rejection
+            print(f"{name:11s}: FAILED ({str(e)[:120]})")
+            continue
         print(f"{name:11s}: {el*1e3:7.3f} ms  ({el/W*1e9:5.0f} ns/item)")
 
 
