@@ -149,7 +149,8 @@ def main():
     )
 
     from spada_tpu.config import SpadaConfig
-    from spada_tpu.io.workloads import (banded_csr, localized_powerlaw_csr)
+    from spada_tpu.io.workloads import (banded_csr, localized_powerlaw_csr,
+                                        powerlaw_csr)
     from spada_tpu.ops.worklist import build_worklist
     from spada_tpu.plan.planner import (_slice_rows_padded, choose_tile_size,
                                         plan_spgemm)
@@ -180,6 +181,12 @@ def main():
                                    hub_frac=0.02, seed=2, dtype=np.float32),
             localized_powerlaw_csr(n, n, 32.0, window_frac=0.01,
                                    hub_frac=0.02, seed=3, dtype=np.float32),
+        ),
+        # uniform-column powerlaw: the fully scattered regime (VERDICT #1's
+        # second done-criterion matrix) — tiles are near-empty at any T
+        "uni-powerlaw": (
+            powerlaw_csr(n, n, 16.0, seed=4, dtype=np.float32),
+            powerlaw_csr(n, n, 16.0, seed=5, dtype=np.float32),
         ),
         "mixed": (
             mixed_a,
