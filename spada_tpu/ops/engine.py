@@ -1198,6 +1198,9 @@ def run_worklist_panel(a_tiles, b_tiles, a_ids, b_ids, o_ids,
     o = np.asarray(o_ids)
     tm, tk = a_tiles.shape[1], a_tiles.shape[2]
     tn = b_tiles.shape[2]
+    if len(o) == 0 or n_c_tiles == 0:
+        return (jnp.zeros((n_c_tiles, tm, tn), jnp.dtype(out_dtype)),
+                None, None, None)
     isz = np.dtype(a_tiles.dtype).itemsize
     # VMEM fit (12 MiB) BEFORE traversal choice, so 'auto' ranks the orders
     # under the slot counts the kernel actually launches with
