@@ -58,7 +58,8 @@ def select_engine(order: str = "row", use_pallas: Optional[bool] = None) -> str:
 
     - TPU + row-major (o-sorted) worklist → the VMEM-cached kernel (fastest
       measured; falls back to streaming for giant tile counts where the
-      packed id encoding overflows).
+      packed id encoding overflows).  The panel-dot engine ('panel') is
+      explicit opt-in until its hardware numbers land.
     - k-major (outer-product) schedules need scatter accumulation → XLA.
     - CPU → XLA (the Pallas kernels run only interpreted there).
     - ``use_pallas=True`` forces the legacy auto-pipelined megakernel.
