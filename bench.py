@@ -150,7 +150,7 @@ def main() -> int:
         # panel-dot candidate: one MXU dot per C-tile run (engine.py panel
         # kernel).  Constructed lazily and gated below; any failure
         # (Mosaic rejection, VMEM overflow) falls back to the cached kernel.
-        def _build_panel_engine(cfg=(9, 10, 3, 4, 6)):
+        def _build_panel_engine(cfg=(8, 9, 3, 3, 6)):
             from spada_tpu.ops.engine import (_run_pallas_panel,
                                               panel_launch_args)
 
@@ -241,7 +241,7 @@ def main() -> int:
             except Exception:
                 # slimmer config if the first overflows VMEM
                 panel_engine, at_t, pa, pb = _build_panel_engine(
-                    (9, 9, 3, 4, 4))
+                    (8, 8, 3, 3, 4))
                 panel_relerr = float(
                     _make_relerr(panel_engine)(at_t, at, bt))
             if not panel_relerr < 2e-2:
