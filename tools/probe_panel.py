@@ -51,8 +51,8 @@ def main():
     run_ptr0 = np.searchsorted(
         np.asarray(wl.o_tid), np.arange(nC + 1)).astype(np.int64)
 
-    def panel_args(order="row", a_slots=12, b_slots=16, depth=4,
-                   max_panel=4, ogroup=8):
+    def panel_args(order="row", a_slots=8, b_slots=9, depth=3,
+                   max_panel=3, ogroup=6):
         a_ids, b_ids, o = wl.a_tid, wl.b_tid, np.asarray(wl.o_tid)
         if order != "row":
             perm = order_runs(wl.c_tile_row, wl.c_tile_col, order)
@@ -62,7 +62,7 @@ def main():
             depth=depth, max_panel=max_panel, ogroup=ogroup)
         kw = dict(n_c_tiles=nC, a_slots=a_slots, b_slots=b_slots,
                   depth=depth, ogroup=ogroup, max_panel=max_panel,
-                  precision="default")
+                  precision="default", out_dtype=jnp.bfloat16)
         print(f"  [{order} s={a_slots}/{b_slots} d={depth} og={ogroup} "
               f"np={max_panel}] loads a {pa.n_loads} b {pb.n_loads}")
         return (jnp.asarray(tile_ptr), jnp.asarray(apk),
@@ -105,7 +105,7 @@ def main():
         ("panel-og12", "row", dict(ogroup=12)),
         ("panel-og4", "row", dict(ogroup=4)),
         ("panel-d8", "row", dict(depth=8)),
-        ("panel-s24", "row", dict(a_slots=16, b_slots=24)),
+        ("panel-s16", "row", dict(a_slots=12, b_slots=16)),
         ("panel-nb", "row", {}),
     ]:
         (tp, ap_, bp_), kw_ = panel_args(order, **kw)
