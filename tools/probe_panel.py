@@ -102,24 +102,26 @@ def main():
     for name, order, kw in [
         ("panel-xp", "row", dict()),
         ("panel-col", "col", {}),
-        ("panel-og12", "row", dict(ogroup=12)),
         ("panel-og4", "row", dict(ogroup=4)),
-        ("panel-d8", "row", dict(depth=8)),
+        ("panel-d5", "row", dict(depth=5, a_slots=10, b_slots=10)),
         ("panel-s16", "row", dict(a_slots=12, b_slots=16)),
-        ("panel-nb", "row", {}),
     ]:
-        (tp, ap_, bp_), kw_ = panel_args(order, **kw)
-        nbuf = 3 if name == "panel-nb" else 2
+        try:
+            (tp, ap_, bp_), kw_ = panel_args(order, **kw)
+        except Exception as e:
+            print(f"{name}: construction failed ({str(e)[:100]})")
+            continue
         xp = name == "panel-xp"
         variants[name] = (
             (lambda at_t_, bt_, tp=tp, ap_=ap_, bp_=bp_, kw_=kw_,
-             nbuf=nbuf, xp=xp: _run_pallas_panel(tp, ap_, bp_, at_t_, bt_,
-                                                 nbuf=nbuf, xpose=xp,
-                                                 **kw_)),
+             xp=xp: _run_pallas_panel(tp, ap_, bp_, at_t_, bt_,
+                                      xpose=xp, **kw_)),
             (at_t, bt),
         )
     for name in (sys.argv[1:] or ["cached", "panel", "panel-col",
-                                  "panel-og12", "panel-og4", "panel-d8"]):
+                                  "panel-og4", "panel-d5"]):
+        if name not in variants:
+            continue
         fn, args = variants[name]
         try:
             el = device_time(fn, args, k=16, trials=5, roundtrip=rt)
