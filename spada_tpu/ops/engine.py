@@ -762,10 +762,15 @@ def run_worklist_cached(a_tiles, b_tiles, a_ids, b_ids, o_ids,
                         interpret: Optional[bool] = None,
                         precision: str = "default", uitems: int = 1):
     """VMEM-cached engine; returns (c_tiles, a_plan, b_plan)."""
-    from spada_tpu.ops.cacheplan import plan_tile_cache
+    from spada_tpu.ops.cacheplan import CachePlan, plan_tile_cache
 
     if interpret is None:
         interpret = not _on_tpu()
+    if len(a_ids) == 0 or n_c_tiles == 0:
+        tm, tn = a_tiles.shape[1], b_tiles.shape[2]
+        empty = CachePlan(np.zeros(0, np.int32), np.zeros(0, np.int32),
+                          a_slots, 0)
+        return jnp.zeros((n_c_tiles, tm, tn), jnp.float32), empty, empty
     if len(a_ids) > _MAX_ITEMS_PER_LAUNCH:
         # split into o-slab launches (SMEM prefetch cap); plans are
         # per-slab, so each launch re-warms its cache (cold loads only at
