@@ -342,8 +342,8 @@ def _run_pallas_streaming_grouped(item_ptr, a_ids, b_ids, o_ids, a_tiles,
         num_scalar_prefetch=4,
         grid=(n_groups,),
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.ANY),
-            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
         ],
         out_specs=pl.BlockSpec(
             (ogroup, tm, tn), lambda g, *prefetch: (g, 0, 0)
@@ -688,10 +688,10 @@ def _run_pallas_cached(tile_ptr, a_packed, b_packed, a_tiles, b_tiles,
         num_scalar_prefetch=3,
         grid=(n_groups,),
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.ANY),
-            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
         ],
-        out_specs=pl.BlockSpec(memory_space=pltpu.ANY),
+        out_specs=pl.BlockSpec(memory_space=pl.ANY),
         scratch_shapes=scratch,
     )
     itemsize = jnp.dtype(a_tiles.dtype).itemsize
@@ -1120,10 +1120,10 @@ def _run_pallas_panel(tile_ptr, a_packed, b_packed, a_tiles_t, b_tiles,
         num_scalar_prefetch=3,
         grid=(n_groups,),
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.ANY),
-            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
         ],
-        out_specs=pl.BlockSpec(memory_space=pltpu.ANY),
+        out_specs=pl.BlockSpec(memory_space=pl.ANY),
         scratch_shapes=scratch,
     )
     itemsize = jnp.dtype(a_tiles_t.dtype).itemsize
