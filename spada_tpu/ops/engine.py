@@ -197,6 +197,9 @@ def _run_pallas(a_ids, b_ids, o_ids, first, a_tiles, b_tiles,
         out_shape=jax.ShapeDtypeStruct((n_c_tiles, tm, tn), jnp.float32),
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary",),
+            # v5e VMEM is 128 MiB; the default 16 MiB scoped limit rejects
+            # panel/cached configs whose working set is barely larger.
+            vmem_limit_bytes=100 * 1024 * 1024,
         ),
         cost_estimate=pl.CostEstimate(
             flops=flops, bytes_accessed=bytes_accessed, transcendentals=0
@@ -363,6 +366,9 @@ def _run_pallas_streaming_grouped(item_ptr, a_ids, b_ids, o_ids, a_tiles,
         ),
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary",),
+            # v5e VMEM is 128 MiB; the default 16 MiB scoped limit rejects
+            # panel/cached configs whose working set is barely larger.
+            vmem_limit_bytes=100 * 1024 * 1024,
         ),
         cost_estimate=pl.CostEstimate(
             flops=2 * W * tm * tk * tn,
@@ -706,6 +712,9 @@ def _run_pallas_cached(tile_ptr, a_packed, b_packed, a_tiles, b_tiles,
         ),
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary",),
+            # v5e VMEM is 128 MiB; the default 16 MiB scoped limit rejects
+            # panel/cached configs whose working set is barely larger.
+            vmem_limit_bytes=100 * 1024 * 1024,
         ),
         cost_estimate=pl.CostEstimate(
             flops=2 * W * tm * tk * tn,
@@ -905,7 +914,8 @@ def _make_panel_kernel(n_items: int, n_groups: int, depth: int, ogroup: int,
                        tk: int, max_panel: int, precision,
                        out_dtype=jnp.float32, nbuf: int = 2,
                        xpose: bool = False, short_lens=None,
-                       rem_lens=None, has_long: bool = True):
+                       rem_lens=None, has_long: bool = True,
+                       a_major: bool = False):
     # static branch pruning: only the run/chunk lengths that actually occur
     # in the plan get emitted (smaller Mosaic programs, faster interpret)
     if short_lens is None:
@@ -923,6 +933,13 @@ def _make_panel_kernel(n_items: int, n_groups: int, depth: int, ogroup: int,
         def unpack(pk):
             return pk >> 9, (pk >> 1) & 255, pk & 1
 
+        def a_dst(sa):
+            # m-major: tiles concatenate along lanes, natural (tm, tk) form;
+            # k-major: along sublanes, k-transposed (tk, tm) form
+            if a_major:
+                return acache.at[:, pl.ds(sa * tk, tk)]
+            return acache.at[pl.ds(sa * tk, tk)]
+
         def start_loads(w):
             a_tid, sa, a_ld = unpack(a_pk_ref[w])
             b_tid, sb, b_ld = unpack(b_pk_ref[w])
@@ -930,7 +947,7 @@ def _make_panel_kernel(n_items: int, n_groups: int, depth: int, ogroup: int,
             @pl.when(a_ld == 1)
             def _():
                 pltpu.make_async_copy(
-                    a_hbm.at[a_tid], acache.at[pl.ds(sa * tk, tk)],
+                    a_hbm.at[a_tid], a_dst(sa),
                     asem.at[sa],
                 ).start()
 
@@ -959,7 +976,7 @@ def _make_panel_kernel(n_items: int, n_groups: int, depth: int, ogroup: int,
             @pl.when(a_ld == 1)
             def _():
                 pltpu.make_async_copy(
-                    a_hbm.at[a_tid], acache.at[pl.ds(sa * tk, tk)],
+                    a_hbm.at[a_tid], a_dst(sa),
                     asem.at[sa],
                 ).wait()
 
@@ -973,6 +990,16 @@ def _make_panel_kernel(n_items: int, n_groups: int, depth: int, ogroup: int,
             return sa, sb
 
         def panel_dot(sa0, sb0, L):
+            if a_major:
+                # natural (m, k) x (k, n): the MXU's canonical contraction —
+                # no transposed-lhs lowering (measured 3x slower on v5e)
+                return jax.lax.dot_general(
+                    acache[:, pl.ds(sa0 * tk, L * tk)],
+                    bcache[pl.ds(sb0 * tk, L * tk)],
+                    dimension_numbers=(((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                    precision=precision,
+                )
             x = acache[pl.ds(sa0 * tk, L * tk)]
             if xpose:
                 # explicit relayout before a canonical (1,0)-contraction —
@@ -1089,7 +1116,7 @@ def _make_panel_kernel(n_items: int, n_groups: int, depth: int, ogroup: int,
     static_argnames=("n_c_tiles", "a_slots", "b_slots", "depth", "ogroup",
                      "max_panel", "interpret", "precision", "out_dtype",
                      "nbuf", "xpose", "short_lens", "rem_lens",
-                     "has_long"),
+                     "has_long", "a_major"),
 )
 def _run_pallas_panel(tile_ptr, a_packed, b_packed, a_tiles_t, b_tiles,
                       n_c_tiles: int, a_slots: int, b_slots: int,
@@ -1097,15 +1124,21 @@ def _run_pallas_panel(tile_ptr, a_packed, b_packed, a_tiles_t, b_tiles,
                       interpret: bool = False, precision: str = "default",
                       out_dtype=jnp.float32, nbuf: int = 2,
                       xpose: bool = False, short_lens=None, rem_lens=None,
-                      has_long: bool = True):
-    """``a_tiles_t``: k-transposed A tiles, (n_a, tk, tm)."""
+                      has_long: bool = True, a_major: bool = False):
+    """``a_tiles_t``: k-transposed A tiles, (n_a, tk, tm) — unless
+    ``a_major``, where A tiles stay natural (n_a, tm, tk) and the cache
+    concatenates a run's tiles along lanes for the canonical contraction."""
     W = a_packed.shape[0]
-    tk, tm = a_tiles_t.shape[1], a_tiles_t.shape[2]
+    if a_major:
+        tm, tk = a_tiles_t.shape[1], a_tiles_t.shape[2]
+    else:
+        tk, tm = a_tiles_t.shape[1], a_tiles_t.shape[2]
     tn = b_tiles.shape[2]
     n_groups = -(-n_c_tiles // ogroup)
     out_dtype = jnp.dtype(out_dtype)
     scratch = [
-        pltpu.VMEM((a_slots * tk, tm), a_tiles_t.dtype),
+        pltpu.VMEM((tm, a_slots * tk) if a_major else (a_slots * tk, tm),
+                   a_tiles_t.dtype),
         pltpu.VMEM((b_slots * tk, tn), b_tiles.dtype),
         pltpu.SemaphoreType.DMA((a_slots,)),
         pltpu.SemaphoreType.DMA((b_slots,)),
@@ -1132,13 +1165,16 @@ def _run_pallas_panel(tile_ptr, a_packed, b_packed, a_tiles_t, b_tiles,
                            _resolve_precision(precision),
                            out_dtype=out_dtype, nbuf=nbuf, xpose=xpose,
                            short_lens=short_lens, rem_lens=rem_lens,
-                           has_long=has_long),
+                           has_long=has_long, a_major=a_major),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct(
             (n_groups * ogroup, tm, tn), out_dtype
         ),
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary",),
+            # v5e VMEM is 128 MiB; the default 16 MiB scoped limit rejects
+            # panel/cached configs whose working set is barely larger.
+            vmem_limit_bytes=100 * 1024 * 1024,
         ),
         cost_estimate=pl.CostEstimate(
             flops=2 * W * tm * tk * tn,
@@ -1183,12 +1219,15 @@ def run_worklist_panel(a_tiles, b_tiles, a_ids, b_ids, o_ids,
                        precision: str = "default",
                        out_dtype=jnp.float32, nbuf: int = 2,
                        a_tiles_t=None, run_order: Optional[str] = None,
-                       c_rows=None, c_cols=None, xpose: bool = False):
+                       c_rows=None, c_cols=None, xpose: bool = False,
+                       a_major: bool = False):
     """Panel-dot engine; returns (c_tiles, a_plan, b_plan, run_perm).
 
     ``a_tiles`` may be passed pre-transposed via ``a_tiles_t`` (n, tk, tm)
     to keep the one-time layout change off the device graph; otherwise it
-    is transposed on device.
+    is transposed on device.  With ``a_major`` A tiles stay natural and a
+    run's tiles concatenate along lanes in the cache (canonical (m,k)x(k,n)
+    contraction instead of the transposed-lhs form).
 
     ``run_order`` ('row' | 'col' | 'diag' | 'auto', needs ``c_rows`` /
     ``c_cols``) permutes the C-tile processing order to maximize panel
@@ -1248,14 +1287,16 @@ def run_worklist_panel(a_tiles, b_tiles, a_ids, b_ids, o_ids,
                 b_slots=b_slots, depth=depth, ogroup=ogroup,
                 max_panel=max_panel, interpret=interpret,
                 precision=precision, out_dtype=out_dtype, nbuf=nbuf,
-                a_tiles_t=a_tiles_t, xpose=xpose,
+                a_tiles_t=a_tiles_t, xpose=xpose, a_major=a_major,
             )
             outs.append(c)
         return jnp.concatenate(outs, axis=0), None, None, run_perm
     tile_ptr, apk, bpk, a_plan, b_plan = panel_launch_args(
         a_ids, b_ids, o, n_c_tiles, a_slots=a_slots, b_slots=b_slots,
         depth=depth, max_panel=max_panel, ogroup=ogroup)
-    if a_tiles_t is None:
+    if a_major:
+        a_tiles_t = jnp.asarray(a_tiles)  # natural layout; no transpose
+    elif a_tiles_t is None:
         a_tiles_t = jnp.swapaxes(jnp.asarray(a_tiles), 1, 2)
     # static branch pruning: emit only run/chunk lengths that occur
     lens = np.diff(np.searchsorted(o, np.arange(n_c_tiles + 1)))
@@ -1270,7 +1311,7 @@ def run_worklist_panel(a_tiles, b_tiles, a_ids, b_ids, o_ids,
         n_c_tiles=n_c_tiles, a_slots=a_slots, b_slots=b_slots,
         depth=depth, ogroup=ogroup, max_panel=max_panel,
         interpret=bool(interpret), precision=precision,
-        out_dtype=out_dtype, nbuf=nbuf, xpose=xpose,
+        out_dtype=out_dtype, nbuf=nbuf, xpose=xpose, a_major=a_major,
         short_lens=short_lens, rem_lens=rem_lens,
         has_long=bool(len(long)),
     )

@@ -96,9 +96,19 @@ def main():
     print(f"panel-vs-cached relerr (first 8 tiles): {rel:.2e}")
     assert rel < 2e-2, rel
 
+    def panel_mjr_fn(at_, bt_):
+        return _run_pallas_panel(pp0, pa0, pb0, at_, bt_, a_major=True,
+                                 **kw0)
+
+    got_m = np.asarray(panel_mjr_fn(at, bt)[:8], np.float32)
+    rel_m = np.abs(got_m - ref).max() / max(np.abs(ref).max(), 1e-9)
+    print(f"panel-mjr-vs-cached relerr (first 8 tiles): {rel_m:.2e}")
+    assert rel_m < 2e-2, rel_m
+
     variants = {
         "cached": (cached_fn, (at, bt)),
         "panel": (panel_row_fn, (at_t, bt)),
+        "panel-mjr": (panel_mjr_fn, (at, bt)),
     }
     for name, order, kw in [
         ("panel-xp", "row", dict()),
