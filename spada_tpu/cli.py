@@ -60,6 +60,11 @@ def build_parser() -> argparse.ArgumentParser:
                    help="tile dtype override (bfloat16 implies fast MXU)")
     p.add_argument("--fast", action="store_true",
                    help="throughput profile: bf16 tiles + adaptive tile size")
+    p.add_argument("--densify", default="auto", choices=["auto", "off"],
+                   help="plan-time layout densification: k-grid anchor scan "
+                        "+ degree-clustering permutations (plan/densify.py); "
+                        "auto keeps identity when structure is already "
+                        "aligned")
     p.add_argument("--plan-scheme", default="analytic",
                    choices=["analytic", "profiled"],
                    help="spada panel planner: closed-form byte model or "
@@ -128,6 +133,18 @@ def cmd_run(args, config: SpadaConfig, w: GemmWorkload) -> int:
         from spada_tpu.plan.planner import choose_tile_size, plan_spgemm
 
         t_best, t_det = choose_tile_size(w.a, w.b, config)
+        if getattr(args, "densify", "off") == "auto":
+            w2, dplan = w.preprocess_densified(config, tk=t_best, tn=t_best)
+            if not dplan.is_identity:
+                print(f"densify: {dplan.candidate}  "
+                      f"(W {dplan.modeled['all']} modeled-ms per layout; "
+                      f"tiles A={dplan.modeled['n_a_tiles']} "
+                      f"B={dplan.modeled['n_b_tiles']} "
+                      f"items={dplan.modeled['w']})")
+                w = w2
+                t_best, t_det = choose_tile_size(w.a, w.b, config)
+            else:
+                print("densify: identity (structure already aligned)")
         if t_best != config.tile_k:
             config.tile_k = config.tile_n = t_best
             config.default_tm = t_best
@@ -159,9 +176,37 @@ def cmd_run(args, config: SpadaConfig, w: GemmWorkload) -> int:
     # warmed re-run for steady-state timing (first call pays compile)
     res = spgemm(w.a, w.b, config, dataflow=dataflow, plan=plan)
 
+    import time as _time
+
+    t_rb = _time.perf_counter()
     c = res.to_csr()
+    readback_s = _time.perf_counter() - t_rb
+
+    # honest on-TPU perf: device-fenced engine time + achieved utilization
+    # (simulator.rs:762-775's mult_util analog).  res.elapsed_s wall-clock
+    # wraps host->device transfers and the tunnel's ~5-10 MB/s readback, so
+    # on TPU the engine numbers come from a fenced device_time loop instead.
+    elapsed_for_report = res.elapsed_s
+    dev = None
+    try:
+        from spada_tpu.ops.spgemm import measure_device_perf
+
+        dev = measure_device_perf(w.a, w.b, config, dataflow=dataflow,
+                                  plan=plan)
+    except Exception as e:  # pool wedge / compile failure: keep wall-clock
+        print(f"(device timing unavailable: {str(e)[:120]})")
+    if dev is not None:
+        elapsed_for_report = dev["engine_s"]
+        util = (f"{dev['mxu_util_pct']:.1f}% MXU"
+                if dev.get("mxu_util_pct") is not None
+                else f"{dev['pct_hbm_sol']:.1f}% of HBM SoL")
+        print(f"device perf: engine {dev['engine_s']*1e3:.3f} ms | "
+              f"{dev['flops_per_s']/1e9:.1f} GFLOP/s ({util}) | "
+              f"model HBM {dev['hbm_gbps']:.0f} GB/s | "
+              f"result readback+extract {readback_s:.2f} s (excluded)")
+
     perf = PerfReport(
-        workload=w.name, dataflow=dataflow, elapsed_s=res.elapsed_s,
+        workload=w.name, dataflow=dataflow, elapsed_s=elapsed_for_report,
         useful_flops=res.useful_flops, mxu_flops=res.mxu_flops, nnz_c=c.nnz,
         hbm_bytes_model=_tile_bytes(res), n_work_items=res.n_work_items,
         backend=jax.default_backend(),

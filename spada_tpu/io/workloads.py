@@ -50,6 +50,39 @@ class GemmWorkload:
         perm = sort_by_length(self.a)
         return GemmWorkload(self.name, self.a.reorder_rows(perm), self.b, perm)
 
+    def preprocess_densified(self, config=None, tm: Optional[int] = None,
+                             tk: Optional[int] = None,
+                             tn: Optional[int] = None):
+        """Structure-aware layout preprocessing for the tile engines.
+
+        Scores k-grid anchors and degree-clustering permutations with the
+        densify planner (:mod:`spada_tpu.plan.densify`) and applies the
+        winner; identity structure passes through untouched.  Any row
+        permutation is folded into ``row_remap`` so
+        :meth:`restore_row_order` keeps working (the reference restores
+        original row ids the same way, simulator.rs:1034-1062).
+
+        Returns ``(workload, densify_plan)``.
+        """
+        from spada_tpu.config import SpadaConfig
+        from spada_tpu.plan.densify import apply_densify, choose_densify
+
+        config = config or SpadaConfig()
+        tk = tk or config.tile_k
+        tn = tn or config.tile_n
+        tm = tm or config.default_tm
+        dplan = choose_densify(self.a, self.b, tm, tk, tn, config)
+        if dplan.is_identity:
+            return self, dplan
+        a2, b2 = apply_densify(self.a, self.b, dplan)
+        remap = self.row_remap
+        if dplan.row_perm is not None:
+            # densify's row_perm[old] = new; remap wants remap[new] = old
+            d_remap = np.empty_like(dplan.row_perm)
+            d_remap[dplan.row_perm] = np.arange(len(dplan.row_perm))
+            remap = d_remap if remap is None else remap[d_remap]
+        return GemmWorkload(self.name, a2, b2, remap), dplan
+
     def reference_product(self):
         """scipy oracle for C (the reference's implicit ground truth)."""
         return (self.a.to_scipy() @ self.b.to_scipy()).tocsr()
@@ -192,6 +225,78 @@ def banded_csr(m: int, n: int, bandwidth: int, seed: int = 0, dtype=np.float64) 
     cols = np.clip(rows + offs, 0, n - 1)
     vals = rng.standard_normal(m * bandwidth).astype(dtype)
     return CsrMatrix.from_coo((m, n), rows, cols, vals)
+
+
+def rmat_csr(
+    n: int, avg_nnz_per_row: float, a: float = 0.57, b: float = 0.19,
+    c: float = 0.19, seed: int = 0, dtype=np.float64,
+) -> CsrMatrix:
+    """R-MAT / Kronecker-style scale-free graph (Graph500 parameters).
+
+    The recursive quadrant sampler produces the skewed degree distribution
+    and community-like block structure of SuiteSparse web/social graphs —
+    the reference's target workload class that its ``SS`` category loads
+    from disk (main.rs:39, py2rust.rs:62-97); generated here because the
+    build environment has no network access.  ``n`` is rounded up to a
+    power of two internally and trimmed back.
+    """
+    rng = np.random.default_rng(seed)
+    levels = int(np.ceil(np.log2(max(n, 2))))
+    size = 1 << levels
+    nnz = int(n * avg_nnz_per_row)
+    rows = np.zeros(nnz, dtype=np.int64)
+    cols = np.zeros(nnz, dtype=np.int64)
+    # vectorized recursive descent: at each level pick a quadrant per edge
+    for _ in range(levels):
+        r = rng.random(nnz)
+        right = (r >= a) & (r < a + b)          # col bit
+        down = (r >= a + b) & (r < a + b + c)   # row bit
+        both = r >= a + b + c
+        rows = (rows << 1) | (down | both)
+        cols = (cols << 1) | (right | both)
+    # map the power-of-two grid back onto n x n
+    rows = rows * n // size
+    cols = cols * n // size
+    vals = rng.standard_normal(nnz).astype(dtype)
+    return CsrMatrix.from_coo((n, n), rows, cols, vals)
+
+
+def banded_offset_csr(
+    m: int, n: int, bandwidth: int, offset: int, seed: int = 0,
+    dtype=np.float64,
+) -> CsrMatrix:
+    """Band displaced ``offset`` columns off the diagonal (grid-misaligned
+    stencils / off-diagonal couplings) — the workload where plan-time grid
+    anchoring pays: a naive diagonal-anchored tiling straddles tile
+    boundaries that an anchor shift removes."""
+    rng = np.random.default_rng(seed)
+    rows = np.repeat(np.arange(m), bandwidth)
+    offs = rng.integers(-bandwidth, bandwidth + 1, m * bandwidth) + offset
+    cols = np.clip(rows + offs, 0, n - 1)
+    vals = rng.standard_normal(m * bandwidth).astype(dtype)
+    return CsrMatrix.from_coo((m, n), rows, cols, vals)
+
+
+def block_random_csr(
+    n: int, block: int, block_density: float, seed: int = 0,
+    dtype=np.float64, within_density: float = 0.6,
+) -> CsrMatrix:
+    """Random block-sparse matrix (FEM / chemistry class): a sparse pattern
+    of dense-ish ``block``-sized blocks — the clustered regime where the
+    tile engine's MXU products run near full occupancy."""
+    rng = np.random.default_rng(seed)
+    nb = -(-n // block)
+    n_blocks = max(int(nb * nb * block_density), nb)
+    brow = rng.integers(0, nb, n_blocks)
+    bcol = rng.integers(0, nb, n_blocks)
+    per_block = int(block * block * within_density)
+    rows = (np.repeat(brow, per_block) * block
+            + rng.integers(0, block, n_blocks * per_block))
+    cols = (np.repeat(bcol, per_block) * block
+            + rng.integers(0, block, n_blocks * per_block))
+    keep = (rows < n) & (cols < n)
+    vals = rng.standard_normal(int(keep.sum())).astype(dtype)
+    return CsrMatrix.from_coo((n, n), rows[keep], cols[keep], vals)
 
 
 def localized_powerlaw_csr(

@@ -49,6 +49,11 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
+# v5e VMEM is 128 MiB; the default 16 MiB Mosaic scoped limit rejects
+# panel/cached configs whose working set is barely larger.
+_VMEM_LIMIT_BYTES = 100 * 1024 * 1024
+
+
 def _on_tpu() -> bool:
     return jax.default_backend() == "tpu"
 
@@ -197,9 +202,7 @@ def _run_pallas(a_ids, b_ids, o_ids, first, a_tiles, b_tiles,
         out_shape=jax.ShapeDtypeStruct((n_c_tiles, tm, tn), jnp.float32),
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary",),
-            # v5e VMEM is 128 MiB; the default 16 MiB scoped limit rejects
-            # panel/cached configs whose working set is barely larger.
-            vmem_limit_bytes=100 * 1024 * 1024,
+            vmem_limit_bytes=_VMEM_LIMIT_BYTES,
         ),
         cost_estimate=pl.CostEstimate(
             flops=flops, bytes_accessed=bytes_accessed, transcendentals=0
@@ -366,9 +369,7 @@ def _run_pallas_streaming_grouped(item_ptr, a_ids, b_ids, o_ids, a_tiles,
         ),
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary",),
-            # v5e VMEM is 128 MiB; the default 16 MiB scoped limit rejects
-            # panel/cached configs whose working set is barely larger.
-            vmem_limit_bytes=100 * 1024 * 1024,
+            vmem_limit_bytes=_VMEM_LIMIT_BYTES,
         ),
         cost_estimate=pl.CostEstimate(
             flops=2 * W * tm * tk * tn,
@@ -446,8 +447,7 @@ def run_worklist_streaming(a_tiles, b_tiles, a_ids, b_ids, o_ids,
 
 def _make_cached_kernel(n_items: int, n_groups: int, depth: int, ogroup: int,
                         precision, out_dtype=jnp.float32, nbuf: int = 2,
-                        uitems: int = 1, a_zslot: int = 0, b_zslot: int = 0,
-                        jlace: bool = False):
+                        uitems: int = 1, a_zslot: int = 0, b_zslot: int = 0):
     # Grid step = OGROUP consecutive C tiles (amortizes the ~1.8us grid-step
     # overhead); per-item scalar state packed into one int32 per operand
     # (6 separate arrays overflow SMEM at large W):
@@ -510,7 +510,7 @@ def _make_cached_kernel(n_items: int, n_groups: int, depth: int, ogroup: int,
 
         @pl.when(g == 0)
         def _warmup():
-            if uitems > 1 or jlace:
+            if uitems > 1:
                 # dummy padding items dot these two reserved slots
                 acache[a_zslot] = jnp.zeros_like(acache[a_zslot])
                 bcache[b_zslot] = jnp.zeros_like(bcache[b_zslot])
@@ -565,33 +565,6 @@ def _make_cached_kernel(n_items: int, n_groups: int, depth: int, ogroup: int,
                 pltpu.make_async_copy(
                     src, c_hbm.at[pl.ds((g - nbuf) * ogroup, ogroup)], sem
                 ).wait()
-            if jlace:
-                # Interleaved schedule: tile_ptr is a per-GROUP pointer;
-                # every run in the group is host-padded to the group max
-                # length Lg, so item (s, j) sits at lo_g + s*ogroup + j.
-                # Each inner step runs OGROUP waits then OGROUP dots whose
-                # accumulators all DIFFER — independent MXU ops, no per-run
-                # read-modify-write chain for Mosaic to serialize on.
-                lo_g = tile_ptr_ref[g]
-                n_g = tile_ptr_ref[g + 1] - lo_g
-                for j in range(ogroup):
-                    do_item(lo_g + j, j, acc, store=True)
-
-                def body(s, _):
-                    w0 = lo_g + s * ogroup
-                    slots = [prep_item(w0 + j) for j in range(ogroup)]
-                    for j in range(ogroup):
-                        acc[j] += dot_slots(*slots[j])
-                    return 0
-
-                jax.lax.fori_loop(1, n_g // ogroup, body, 0, unroll=False)
-                if stage is not None:
-                    stage[...] = acc[...].astype(out_dtype)
-                pltpu.make_async_copy(
-                    src, c_hbm.at[pl.ds(base, ogroup)], sem
-                ).start()
-                return
-
             lg = max(uitems - 1, 0).bit_length()  # log2(uitems)
             for j in range(ogroup):
                 lo = tile_ptr_ref[base + j]
@@ -682,93 +655,29 @@ def _pad_worklist(o_ids, a_packed, b_packed, n_c_tiles: int, uitems: int,
     return new_ptr, apk, bpk
 
 
-def jlace_launch_args(a_ids, b_ids, o_ids, n_c_tiles: int, *,
-                      a_slots: int, b_slots: int, depth: int, ogroup: int,
-                      window: int = 24):
-    """Interleaved-schedule launch state for :func:`_run_pallas_cached`
-    with ``jlace=True``.
-
-    C tiles are stably sorted by run length within ``window``-tile windows
-    (keeps the worklist's cache locality while making groups
-    length-homogeneous), then each group's runs are padded to the group
-    max Lg with dummy zero-slot items so that item (s, j) sits at the
-    closed-form position ``gptr[g] + s*ogroup + j``.  The kernel then runs
-    groups of OGROUP independent dot+accumulates (different accumulators),
-    breaking the per-run read-modify-write MXU dependence chain.
-
-    The Belady plan is computed on the real-item substream; the kernel's
-    full-stream prefetch distance is >= the real-stream distance, so the
-    plan's ``depth`` hazard margin still holds.
-
-    Returns ``(gptr, apk, bpk, a_plan, b_plan, perm)`` — output row ``p``
-    of the kernel holds C tile ``perm[p]``.
-    """
-    from spada_tpu.ops.cacheplan import plan_tile_cache
-
-    o = np.asarray(o_ids, np.int64)
-    a_ids = np.asarray(a_ids, np.int64)
-    b_ids = np.asarray(b_ids, np.int64)
-    rp = np.searchsorted(o, np.arange(n_c_tiles + 1)).astype(np.int64)
-    lens = np.diff(rp)
-    window = max(window - window % ogroup, ogroup)
-    perm = np.concatenate([
-        s + np.argsort(lens[s:s + window], kind="stable")
-        for s in range(0, n_c_tiles, window)
-    ]) if n_c_tiles else np.zeros(0, np.int64)
-    n_groups = -(-n_c_tiles // ogroup)
-    na, nb, gptr = [], [], [0]
-    for g in range(n_groups):
-        tiles = perm[g * ogroup:(g + 1) * ogroup]
-        lg = int(lens[tiles].max(initial=1))
-        for s in range(lg):
-            for j in range(ogroup):
-                if j < len(tiles) and s < lens[tiles[j]]:
-                    t = tiles[j]
-                    na.append(a_ids[rp[t] + s])
-                    nb.append(b_ids[rp[t] + s])
-                else:
-                    na.append(-1)
-                    nb.append(-1)
-        gptr.append(gptr[-1] + lg * ogroup)
-    na = np.asarray(na, np.int64)
-    nb = np.asarray(nb, np.int64)
-    real = na >= 0
-    a_plan = plan_tile_cache(na[real], a_slots, depth)
-    b_plan = plan_tile_cache(nb[real], b_slots, depth)
-    # dummies: zero slot (index a_slots/b_slots), no load
-    apk = np.full(len(na), np.int32(a_slots << 1), np.int32)
-    bpk = np.full(len(nb), np.int32(b_slots << 1), np.int32)
-    apk[real] = _pack_plan(na[real], a_plan)
-    bpk[real] = _pack_plan(nb[real], b_plan)
-    return (np.asarray(gptr, np.int32), apk, bpk, a_plan, b_plan, perm)
-
-
 @functools.partial(
     jax.jit,
     static_argnames=("n_c_tiles", "a_slots", "b_slots", "depth", "ogroup",
                      "interpret", "precision", "out_dtype", "nbuf",
-                     "uitems", "jlace"),
+                     "uitems"),
 )
 def _run_pallas_cached(tile_ptr, a_packed, b_packed, a_tiles, b_tiles,
                        n_c_tiles: int, a_slots: int, b_slots: int,
                        depth: int = 8, ogroup: int = 8,
                        interpret: bool = False, precision: str = "default",
                        out_dtype=jnp.float32, nbuf: int = 2,
-                       uitems: int = 1, jlace: bool = False):
+                       uitems: int = 1):
     """``tile_ptr``: int32 [n_groups*ogroup + 1] CSR pointer of each C
     tile's item range in the o-sorted worklist (padded tiles: lo == hi).
     With ``uitems`` > 1 the caller must have padded the worklist with
-    :func:`_pad_worklist` (zero slots = index a_slots / b_slots).
-    With ``jlace`` the caller passes :func:`jlace_launch_args` state:
-    ``tile_ptr`` is a per-GROUP pointer [n_groups + 1] and the worklist is
-    interleave-padded (s-major within each group)."""
+    :func:`_pad_worklist` (zero slots = index a_slots / b_slots)."""
     assert uitems & (uitems - 1) == 0, "uitems must be a power of two"
     W = a_packed.shape[0]
     tm, tk = a_tiles.shape[1], a_tiles.shape[2]
     tn = b_tiles.shape[2]
     n_groups = -(-n_c_tiles // ogroup)
     out_dtype = jnp.dtype(out_dtype)
-    xtra = 1 if (uitems > 1 or jlace) else 0  # reserved zero slot per cache
+    xtra = 1 if uitems > 1 else 0  # reserved zero slot per cache
     scratch = [
         pltpu.VMEM((a_slots + xtra, tm, tk), a_tiles.dtype),
         pltpu.VMEM((b_slots + xtra, tk, tn), b_tiles.dtype),
@@ -797,16 +706,14 @@ def _run_pallas_cached(tile_ptr, a_packed, b_packed, a_tiles, b_tiles,
         _make_cached_kernel(W, n_groups, depth, ogroup,
                             _resolve_precision(precision),
                             out_dtype=out_dtype, nbuf=nbuf, uitems=uitems,
-                            a_zslot=a_slots, b_zslot=b_slots, jlace=jlace),
+                            a_zslot=a_slots, b_zslot=b_slots),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct(
             (n_groups * ogroup, tm, tn), out_dtype
         ),
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary",),
-            # v5e VMEM is 128 MiB; the default 16 MiB scoped limit rejects
-            # panel/cached configs whose working set is barely larger.
-            vmem_limit_bytes=100 * 1024 * 1024,
+            vmem_limit_bytes=_VMEM_LIMIT_BYTES,
         ),
         cost_estimate=pl.CostEstimate(
             flops=2 * W * tm * tk * tn,
@@ -1264,9 +1171,7 @@ def _run_pallas_panel(tile_ptr, a_packed, b_packed, a_tiles_t, b_tiles,
         ),
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary",),
-            # v5e VMEM is 128 MiB; the default 16 MiB scoped limit rejects
-            # panel/cached configs whose working set is barely larger.
-            vmem_limit_bytes=100 * 1024 * 1024,
+            vmem_limit_bytes=_VMEM_LIMIT_BYTES,
         ),
         cost_estimate=pl.CostEstimate(
             flops=2 * W * tm * tk * tn,

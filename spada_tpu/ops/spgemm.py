@@ -194,8 +194,10 @@ def spgemm(
             from spada_tpu.plan.planner import plan_op_dataflow
 
             tm, _ = plan_op_dataflow(a, b, config)
+        elif dataflow == "rowwise":
+            tm = _multirow_tm(config)
         else:
-            tm = {"ip": 128, "rowwise": 32}.get(dataflow, config.default_tm)
+            tm = {"ip": 128}.get(dataflow, config.default_tm)
 
     order = "k" if dataflow == "op" else "row"
     if dtype is np.float32 and config.engine_dtype == "bfloat16":
@@ -239,6 +241,150 @@ def spgemm(
     )
 
 
+def measure_device_perf(a: CsrMatrix, b: CsrMatrix,
+                        config: Optional[SpadaConfig] = None,
+                        dataflow: Optional[str] = None,
+                        plan=None) -> Optional[dict]:
+    """Device-fenced engine timing for the launches :func:`spgemm` runs.
+
+    The reference reports per-PE ``mult_util`` / ``active_cycle`` per run
+    (simulator.rs:762-775, 1008-1032); this is the rebuild's analog measured
+    on real hardware: engine milliseconds via
+    :func:`spada_tpu.utils.timing.device_time` (host readback excluded —
+    the tunnel reads back at ~5-10 MB/s and would otherwise swamp a
+    millisecond kernel by 1000x), achieved MXU utilization, and modeled HBM
+    GB/s.  Returns None off-TPU (CPU wall-clock timing is already honest).
+    """
+    import jax
+    import jax.numpy as jnp
+
+    if jax.default_backend() != "tpu":
+        return None
+    from spada_tpu.utils.timing import device_time
+
+    config = config or SpadaConfig()
+    dataflow = dataflow or config.dataflow
+
+    if dataflow == "element":
+        from spada_tpu.ops.element import (_esc_execute_jit, build_esc_plan,
+                                           esc_operands, esc_transfer)
+
+        eplan = build_esc_plan(a, b, cap=config.element_cap)
+        ops = esc_transfer(esc_operands(eplan, a, b))
+        run = _esc_execute_jit()
+        flat = [x for pair in ops for x in pair]
+        if not flat:
+            return None
+
+        def fn(first, *rest):
+            xs = (first,) + rest
+            # perturb every operand so no bucket hoists out of the loop
+            eps = (jnp.sum(first.reshape(-1)[:1]) * 1e-30).astype(first.dtype)
+            pairs = tuple((xs[2 * i] + eps, xs[2 * i + 1])
+                          for i in range(len(xs) // 2))
+            return run(pairs)
+
+        el = device_time(fn, tuple(flat), k=16, trials=3)
+        bytes_model = eplan.operand_bytes()
+        return {
+            "engine_s": el,
+            "hbm_gbps": bytes_model / el / 1e9,
+            "pct_hbm_sol": 100.0 * bytes_model / config.hbm_bytes_per_s / el,
+            "mxu_util_pct": None,  # VPU streaming path, no MXU work
+            "flops_per_s": 2 * eplan.n_products / el,
+        }
+
+    # tile path: rebuild the same worklists spgemm ran and time the engine
+    # launches in one fenced loop (tiles passed as jit args — closures over
+    # big arrays become compile-request constants on this runtime)
+    from spada_tpu.ops.worklist import build_worklist
+    from spada_tpu.plan.planner import _slice_rows_padded
+
+    dtype = np.float32
+    if config.engine_dtype == "bfloat16":
+        dtype = jnp.bfloat16
+    engine = None if config.engine == "auto" else config.engine
+
+    segments = []  # (wl, a_tiles, b_tiles, tm)
+    if dataflow == "spada" and plan is not None:
+        b_bsr = BsrMatrix.from_csr(b, plan.tile_k, plan.tile_n, dtype=dtype)
+        by_tm = {}
+        for p in plan.panels:
+            by_tm.setdefault(p.tm, []).append(p)
+        for tm_, panels in sorted(by_tm.items()):
+            sub, _ = _slice_rows_padded(a, panels, tm_)
+            if sub.nnz == 0:
+                continue
+            a_bsr = BsrMatrix.from_csr(sub, tm_, plan.tile_k, dtype=dtype)
+            wl = build_worklist(a_bsr, b_bsr, order="row")
+            if wl.n_items:
+                segments.append((wl, a_bsr.tiles, b_bsr.tiles, tm_))
+        tk, tn = plan.tile_k, plan.tile_n
+    else:
+        if dataflow == "op":
+            from spada_tpu.plan.planner import plan_op_dataflow
+
+            tm_, _ = plan_op_dataflow(a, b, config)
+        else:
+            tm_ = {"ip": 128}.get(dataflow, config.default_tm)
+            if dataflow == "rowwise":
+                tm_ = _multirow_tm(config)
+        order = "k" if dataflow == "op" else "row"
+        a_bsr = BsrMatrix.from_csr(a, tm_, config.tile_k, dtype=dtype)
+        b_bsr = BsrMatrix.from_csr(b, config.tile_k, config.tile_n,
+                                   dtype=dtype)
+        wl = build_worklist(a_bsr, b_bsr, order=order)
+        if wl.n_items:
+            segments.append((wl, a_bsr.tiles, b_bsr.tiles, tm_))
+        tk, tn = config.tile_k, config.tile_n
+    if not segments:
+        return None
+
+    args, metas = [], []
+    mxu_flops = 0
+    bytes_model = 0
+    isz = int(np.dtype(dtype).itemsize)
+    for wl, at_, bt_, tm_ in segments:
+        args += [jnp.asarray(at_), jnp.asarray(bt_)]
+        metas.append((wl, tm_))
+        mxu_flops += 2 * wl.n_items * tm_ * tk * tn
+        bytes_model += (wl.n_items * (tm_ * tk + tk * tn) * isz
+                        + wl.n_c_tiles * tm_ * tn * 4)
+
+    def fn(first, *rest):
+        xs = (first,) + rest
+        eps = (jnp.sum(first.reshape(-1)[:1]) * 1e-30).astype(first.dtype)
+        total = jnp.float32(0.0)
+        for i, (wl, _) in enumerate(metas):
+            c = run_worklist(wl, xs[2 * i] + eps, xs[2 * i + 1],
+                             precision=config.precision, engine=engine)
+            total += jnp.sum(c).astype(jnp.float32)
+        return total
+
+    el = device_time(fn, tuple(args), k=8, trials=3)
+    return {
+        "engine_s": el,
+        "hbm_gbps": bytes_model / el / 1e9,
+        "pct_hbm_sol": 100.0 * bytes_model / config.hbm_bytes_per_s / el,
+        "mxu_util_pct": 100.0 * mxu_flops / el / _peak_flops(config, dtype),
+        "flops_per_s": mxu_flops / el,
+    }
+
+
+def _peak_flops(config: SpadaConfig, dtype) -> float:
+    return (config.peak_flops_bf16 if np.dtype(dtype).itemsize == 2
+            else config.peak_flops_f32)
+
+
+def _multirow_tm(config: SpadaConfig) -> int:
+    """MultiRow panel height: the config block shape's row count
+    (main.rs:67-72 — MultiRow runs the configured ``block_shape``), clamped
+    to an MXU-viable height; degenerate shapes (the stock row1 config's
+    ``[1, inf]``) fall back to a moderate fixed panel."""
+    bs_tm = int(config.block_shape[0])
+    return bs_tm if 8 <= bs_tm <= 512 else 32
+
+
 def spgemm_csr(
     a: CsrMatrix,
     b: CsrMatrix,
@@ -266,7 +412,10 @@ def spgemm_csr(
         # (tm=None lets plan_op_dataflow pick the panel height)
         return spgemm(a, b, config, dataflow=dataflow, tm=tm).to_csr(prune_eps)
     if tm is None:
-        tm = {"ip": 128, "rowwise": 32}.get(dataflow, config.default_tm)
+        if dataflow == "rowwise":
+            tm = _multirow_tm(config)
+        else:
+            tm = {"ip": 128}.get(dataflow, config.default_tm)
 
     dtype = np.float32
     if config.engine_dtype == "bfloat16":
