@@ -1,30 +1,45 @@
-"""Headline benchmark: per-chip SpGEMM fraction of speed-of-light.
+"""Headline benchmark: suite of structurally distinct SpGEMM workloads.
 
 Prints ONE JSON line:
   {"metric": "spgemm_pct_sol", "value": <pct>, "unit": "%", "vs_baseline": r}
 
-- Correctness gates: (a) stock workload cari (C = A·Aᵀ) vs scipy
-  (BASELINE.md); (b) the *measured perf engine itself* (cached bf16 Pallas
-  kernel) vs an f32 XLA computation of the same worklist, compared on
-  device (readback over the tunnel is ~5 MB/s, so only the max-relative-
-  error scalar comes back).
-- Perf workloads: banded block-sparse SpGEMM at HBM-bound scale (tile/MXU
-  engine) + a 16k localized-powerlaw matrix (SuiteSparse-like scattered
-  structure, element/ESC engine).
-- Timing: chained on-device iterations fenced by host readback
-  (spada_tpu.utils.timing — ``block_until_ready`` is unreliable through the
-  tunneled runtime).
-- Speed-of-light, two bounds reported side by side:
-    * naive streaming — every work item moves its A and B tile from HBM
-      once, C written once.  NOT an upper bound for the cached kernel
-      (which elides reused-tile traffic by design) — kept because it is
-      the bound the *uncached* baseline obeys.
-    * Belady unique-byte — only the cache plan's actual DMA loads count
-      (``pct_sol_belady``).  This IS an upper bound for the cached kernel:
-      the true minimum-traffic roofline.
-  The headline `value` is the naive-bound figure (the BASELINE.json >=70%
-  north star); `pct_sol_belady` in the detail is the honest distance to
-  the hardware limit.  The reference publishes no hardware numbers.
+``value`` is the suite MEDIAN of per-workload %-of-speed-of-light
+(VERDICT round-2 items 2+5: one synthetic point under +-40% pool variance
+is not a result).  Suite (engine dispatched per matrix, like the
+adaptive planner would):
+
+  banded      n=64k, band 384 — PDE/stencil class, VMEM-cached MXU kernel
+              (the rounds-1/2 headline workload, kept for continuity)
+  banded_off  same band displaced 192 cols off-diagonal — exercises the
+              densify planner's k-grid anchor (without it this workload
+              carries 1.77x the work items)
+  locpl       localized powerlaw n=64k — SuiteSparse community structure,
+              element/ESC engine at honestly HBM-bound scale (~180 MB
+              streamed; the round-2 16k entry fit in VMEM and measured
+              launch overhead, not bandwidth)
+  rmat        R-MAT n=32k deg 12 — Graph500 scale-free class, element
+              engine (~0.7 GB streamed)
+
+Correctness gates: (a) stock workload cari (C = A·A^T) vs scipy; (b) each
+tile entry's *measured kernel* vs an f32 XLA oracle on device (readback is
+~5-10 MB/s, only the relerr scalar comes back); (c) each element entry vs
+scipy on a row slice (chunk values gathered on device, sliced readback).
+
+Speed-of-light per entry:
+  tile entries:    naive streaming bound (every work item moves its A and
+                   B tile once, C written once) at the workload's tile
+                   size — the BASELINE.json >=70% north-star definition.
+                   The detail also carries the Belady unique-byte +
+                   MXU-floor roofline (the kernel's own binding bound).
+  element entries: the plan's streamed operand+output bytes at nominal
+                   HBM bandwidth (819 GB/s).  Note the chip measures
+                   *above* nominal on pure reads (~900+ GB/s fused-read
+                   microbenchmark), so these percentages are conservative.
+
+Timing: chained on-device iterations fenced by host readback
+(spada_tpu.utils.timing — ``block_until_ready`` is unreliable through the
+tunneled runtime); per entry the detail reports the slope-sample spread
+(min/max) alongside the median.
 """
 
 import json
@@ -65,6 +80,178 @@ def _watchdog_main() -> int:
     return 1
 
 
+def _spread_ms(samples):
+    # negative slope samples happen when pool interference hits the short
+    # run harder than the long one; clamp for display (the median never
+    # takes them)
+    return [round(max(min(samples), 0.0) * 1e3, 3),
+            round(max(samples) * 1e3, 3)]
+
+
+def _tile_entry(name, a, b, config, T, rt, densify=False):
+    """Cached-kernel entry: gate on device vs f32 XLA, then device_time."""
+    import jax
+    import jax.numpy as jnp
+
+    from spada_tpu.io.workloads import GemmWorkload
+    from spada_tpu.ops.cacheplan import plan_tile_cache
+    from spada_tpu.ops.engine import _pack_plan, _run_pallas_cached
+    from spada_tpu.ops.worklist import build_worklist
+    from spada_tpu.sparse.bsr import BsrMatrix
+    from spada_tpu.utils.timing import device_time_stats
+
+    out = {"name": name, "engine": "cached", "tile": T}
+    if densify:
+        w = GemmWorkload(name, a, b)
+        w2, dplan = w.preprocess_densified(config, tm=T, tk=T, tn=T)
+        out["densify"] = dplan.candidate
+        out["densify_w_model"] = dplan.modeled.get("all", {})
+        a, b = w2.a, w2.b
+
+    a_bsr = BsrMatrix.from_csr(a, T, T, dtype=np.float32)
+    b_bsr = BsrMatrix.from_csr(b, T, T, dtype=np.float32)
+    wl = build_worklist(a_bsr, b_bsr, order="row")
+    W, nC = wl.n_items, wl.n_c_tiles
+    at = jnp.asarray(a_bsr.tiles).astype(jnp.bfloat16)
+    bt = jnp.asarray(b_bsr.tiles).astype(jnp.bfloat16)
+
+    # swept optimum at T=384 (tools/sweep_cached.py): small slot caches
+    # (band-local reuse), ogroup 6 amortizes the ~1.8us grid step, bf16 C
+    # writeback halves the C bytes (f32 accuracy kept by f32 accumulators)
+    a_slots, b_slots, depth, ogroup = 6, 10, 4, 6
+    a_plan = plan_tile_cache(wl.a_tid, a_slots, depth)
+    b_plan = plan_tile_cache(wl.b_tid, b_slots, depth)
+    apk = jnp.asarray(_pack_plan(wl.a_tid, a_plan))
+    bpk = jnp.asarray(_pack_plan(wl.b_tid, b_plan))
+    n_groups = -(-nC // ogroup)
+    tile_ptr = jnp.asarray(np.searchsorted(
+        np.asarray(wl.o_tid), np.arange(n_groups * ogroup + 1)
+    ).astype(np.int32))
+
+    def engine(at_, bt_):
+        return _run_pallas_cached(
+            tile_ptr, apk, bpk, at_, bt_, n_c_tiles=nC,
+            a_slots=a_slots, b_slots=b_slots, depth=depth, ogroup=ogroup,
+            interpret=False, precision="default", out_dtype=jnp.bfloat16,
+        )
+
+    # gate: the measured kernel itself vs f32 HIGHEST XLA, on device
+    ai, bi, oi = (jnp.asarray(wl.a_tid), jnp.asarray(wl.b_tid),
+                  jnp.asarray(wl.o_tid))
+
+    @jax.jit
+    def _relerr(a_eng, bt_):
+        c_perf = engine(a_eng, bt_).astype(jnp.float32)
+        atf = a_eng.astype(jnp.float32)
+        btf = bt_.astype(jnp.float32)
+        c_ref = jnp.zeros((nC, T, T), jnp.float32)
+        step = 2048
+        for s in range(-(-W // step)):
+            sl = slice(s * step, min((s + 1) * step, W))
+            part = jax.lax.dot_general(
+                atf[ai[sl]], btf[bi[sl]],
+                dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+                preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.HIGHEST,
+            )
+            c_ref = c_ref.at[oi[sl]].add(part)
+        return (jnp.max(jnp.abs(c_perf - c_ref)) / jnp.max(jnp.abs(c_ref)))
+
+    relerr = float(_relerr(at, bt))
+    if not relerr < 2e-2:  # bf16 inputs, f32 accumulation
+        out["error"] = f"kernel gate failed (relerr={relerr:.3e})"
+        return out
+
+    elapsed, samples = device_time_stats(engine, (at, bt), k=16, trials=5,
+                                         roundtrip=rt)
+
+    isz = 2  # bf16 tiles
+    c_bytes = nC * T * T * 2
+    bytes_naive = W * (2 * T * T) * isz + c_bytes
+    bytes_belady = (a_plan.n_loads + b_plan.n_loads) * T * T * isz + c_bytes
+    mxu_flops = 2 * W * T * T * T
+    t_naive = max(bytes_naive / config.hbm_bytes_per_s,
+                  mxu_flops / config.peak_flops_bf16)
+    t_belady = max(bytes_belady / config.hbm_bytes_per_s,
+                   mxu_flops / config.peak_flops_bf16)
+    out.update({
+        "elapsed_ms": round(elapsed * 1e3, 3),
+        "spread_ms": _spread_ms(samples),
+        "pct_sol": round(100.0 * t_naive / elapsed, 2),
+        "pct_sol_belady": round(100.0 * t_belady / elapsed, 2),
+        "sol_ms": round(t_naive * 1e3, 3),
+        "sol_belady_ms": round(t_belady * 1e3, 3),
+        "mxu_floor_ms": round(mxu_flops / config.peak_flops_bf16 * 1e3, 3),
+        "hbm_gb_naive": round(bytes_naive / 1e9, 3),
+        "hbm_gb_belady": round(bytes_belady / 1e9, 3),
+        "work_items": int(W), "c_tiles": int(nC),
+        "effective_gflops": round(mxu_flops / elapsed / 1e9, 1),
+        "relerr": round(relerr, 6),
+    })
+    return out
+
+
+def _element_entry(name, a, b, config, rt, gate_rows=2048):
+    """Element/ESC entry: gate vs scipy on a row slice, then device_time."""
+    import jax.numpy as jnp
+    import scipy.sparse as sp
+
+    from spada_tpu.ops.element import (_esc_execute_jit, build_esc_plan,
+                                       esc_operands, esc_transfer)
+    from spada_tpu.utils.timing import device_time_stats
+
+    out = {"name": name, "engine": "element"}
+    plan = build_esc_plan(a, b)
+    ops = esc_transfer(esc_operands(plan, a, b))
+    run = _esc_execute_jit()
+
+    # gate on rows [0, gate_rows): gather those chunks on device, read back
+    # only the slice (full nnz(C) readback would be minutes over the tunnel)
+    vals_dev = run(ops)
+    chunk_row = np.searchsorted(plan.indptr, plan.esc_to_csr,
+                                side="right") - 1
+    sel = np.nonzero(chunk_row < gate_rows)[0]
+    nnz_slice = int(plan.indptr[gate_rows])
+    sub = np.asarray(jnp.take(vals_dev, jnp.asarray(sel.astype(np.int32))))
+    data = np.zeros(nnz_slice, np.float64)
+    np.add.at(data, plan.esc_to_csr[sel], sub)
+    got = sp.csr_matrix(
+        (data, plan.indices[:nnz_slice], plan.indptr[: gate_rows + 1]),
+        shape=(gate_rows, plan.shape[1]))
+    ref = (a.to_scipy()[:gate_rows] @ b.to_scipy()).tocsr()
+    ref.sort_indices()
+    err = abs(got - ref).max() / max(abs(ref).max(), 1e-30)
+    if not err < 1e-3:
+        out["error"] = f"element gate failed (relerr={err:.3e})"
+        return out
+
+    flat = [x for pair in ops for x in pair]
+
+    def fn(first, *rest):
+        xs = (first,) + rest
+        # perturb EVERY operand so no bucket hoists out of the timing loop
+        eps = (jnp.sum(first.reshape(-1)[:1]) * 1e-30).astype(first.dtype)
+        pairs = tuple((xs[2 * i] + eps, xs[2 * i + 1])
+                      for i in range(len(xs) // 2))
+        return run(pairs)
+
+    elapsed, samples = device_time_stats(fn, tuple(flat), k=16, trials=5,
+                                         roundtrip=rt)
+    bytes_str = plan.operand_bytes()
+    t_sol = bytes_str / config.hbm_bytes_per_s
+    out.update({
+        "elapsed_ms": round(elapsed * 1e3, 4),
+        "spread_ms": _spread_ms(samples),
+        "pct_sol": round(100.0 * t_sol / elapsed, 2),
+        "stream_gbps": round(bytes_str / elapsed / 1e9, 1),
+        "hbm_gb": round(bytes_str / 1e9, 3),
+        "e_products": plan.n_products, "nnz_c": plan.nnz_c,
+        "density_efficiency": round(plan.density_efficiency, 4),
+        "relerr": round(float(err), 8),
+    })
+    return out
+
+
 def main() -> int:
     import jax
 
@@ -76,16 +263,16 @@ def main() -> int:
 
     from spada_tpu.config import SpadaConfig
     from spada_tpu.io.mtx import load_mtx
-    from spada_tpu.io.workloads import GemmWorkload, banded_csr
+    from spada_tpu.io.workloads import (GemmWorkload, banded_csr,
+                                        banded_offset_csr,
+                                        localized_powerlaw_csr, rmat_csr)
     from spada_tpu.ops.spgemm import spgemm
-    from spada_tpu.ops.worklist import build_worklist
-    from spada_tpu.sparse.bsr import BsrMatrix
-    from spada_tpu.utils.timing import device_time, measure_roundtrip
+    from spada_tpu.utils.timing import measure_roundtrip
 
     config = SpadaConfig()
     root = os.path.dirname(os.path.abspath(__file__))
 
-    # ---- correctness gate: cari vs scipy ----
+    # ---- correctness gate: cari (the reference's stock workload) ----
     w = GemmWorkload.from_matrix(
         "cari", load_mtx(os.path.join(root, "matrices/cari.mtx"))
     )
@@ -98,281 +285,84 @@ def main() -> int:
         }))
         return 1
 
-    # ---- perf workload ----
-    n, band = (65536, 384) if on_tpu else (8192, 96)
-    a = banded_csr(n, n, bandwidth=band, seed=0, dtype=np.float32)
-    b = banded_csr(n, n, bandwidth=band, seed=1, dtype=np.float32)
-    # T=384 is what choose_tile_size picks here (band-aligned tiles: W/nC
-    # -> ~1.8, and the dominant per-item cost — f32 VMEM accumulate — is
-    # paid near-once per C tile); measured 1.93 ms vs 3.13 ms at T=256.
-    tm = tk = tn = 384 if on_tpu else 128
-    a_bsr = BsrMatrix.from_csr(a, tm, tk, dtype=np.float32)
-    b_bsr = BsrMatrix.from_csr(b, tk, tn, dtype=np.float32)
-    wl = build_worklist(a_bsr, b_bsr, order="row")
-    W, nC = wl.n_items, wl.n_c_tiles
-
-    import jax.numpy as jnp
-
-    tile_dtype = jnp.bfloat16 if on_tpu else jnp.float32
-    isz = 2 if on_tpu else 4
-    at = jnp.asarray(a_bsr.tiles).astype(tile_dtype)
-    bt = jnp.asarray(b_bsr.tiles).astype(tile_dtype)
-    ai, bi, oi = (jnp.asarray(wl.a_tid), jnp.asarray(wl.b_tid),
-                  jnp.asarray(wl.o_tid))
-
-    if on_tpu:
-        from spada_tpu.ops.cacheplan import plan_tile_cache
-        from spada_tpu.ops.engine import _pack_plan, _run_pallas_cached
-
-        # swept optimum at T=384 (tools/sweep_cached.py): small slot caches
-        # (the Belady plan needs few slots when reuse is band-local), ogroup
-        # 6 to amortize the ~1.8us grid step, bf16 C writeback (halves the
-        # dominant C HBM bytes; f32 accuracy kept by the f32 accumulators)
-        a_slots, b_slots, depth, ogroup = 6, 10, 4, 6
-        a_plan = plan_tile_cache(wl.a_tid, a_slots, depth)
-        b_plan = plan_tile_cache(wl.b_tid, b_slots, depth)
-        apk = jnp.asarray(_pack_plan(wl.a_tid, a_plan))
-        bpk = jnp.asarray(_pack_plan(wl.b_tid, b_plan))
-        n_groups = -(-nC // ogroup)
-        tile_ptr = jnp.asarray(
-            np.searchsorted(np.asarray(wl.o_tid),
-                            np.arange(n_groups * ogroup + 1)).astype(np.int32)
-        )
-
-        def engine(at, bt):
-            return _run_pallas_cached(
-                tile_ptr, apk, bpk, at, bt, n_c_tiles=nC,
-                a_slots=a_slots, b_slots=b_slots, depth=depth, ogroup=ogroup,
-                interpret=False, precision="default",
-                out_dtype=jnp.bfloat16,
-            )
-
-        # panel-dot candidate: one MXU dot per C-tile run (engine.py panel
-        # kernel).  Constructed lazily and gated below; any failure
-        # (Mosaic rejection, VMEM overflow) falls back to the cached kernel.
-        def _build_panel_engine(cfg=(8, 9, 3, 3, 6)):
-            from spada_tpu.ops.engine import (_run_pallas_panel,
-                                              panel_launch_args)
-
-            pa_slots, pb_slots, pdepth, pnp, pog = cfg
-            tile_ptr_p, papk_n, pbpk_n, pa, pb = panel_launch_args(
-                wl.a_tid, wl.b_tid, wl.o_tid, nC, a_slots=pa_slots,
-                b_slots=pb_slots, depth=pdepth, max_panel=pnp, ogroup=pog)
-            ptile_ptr = jnp.asarray(tile_ptr_p)
-            papk = jnp.asarray(papk_n)
-            pbpk = jnp.asarray(pbpk_n)
-            at_t = jnp.asarray(np.ascontiguousarray(
-                a_bsr.tiles.transpose(0, 2, 1))).astype(tile_dtype)
-
-            def panel_engine(at_t_, bt_):
-                return _run_pallas_panel(
-                    ptile_ptr, papk, pbpk, at_t_, bt_, n_c_tiles=nC,
-                    a_slots=pa_slots, b_slots=pb_slots, depth=pdepth,
-                    ogroup=pog, max_panel=pnp, interpret=False,
-                    precision="default", out_dtype=jnp.bfloat16,
-                )
-
-            return panel_engine, at_t, pa, pb
-    else:
-        chunk = 2048
-
-        def engine(at, bt):
-            c = jnp.zeros((nC, tm, tn), jnp.float32)
-            for s in range(-(-W // chunk)):
-                sl = slice(s * chunk, min((s + 1) * chunk, W))
-                part = jax.lax.dot_general(
-                    at[ai[sl]], bt[bi[sl]],
-                    dimension_numbers=(((2,), (1,)), ((0,), (0,))),
-                    preferred_element_type=jnp.float32,
-                    precision=jax.lax.Precision.DEFAULT,
-                )
-                c = c.at[oi[sl]].add(part)
-            return c
-
-    # ---- perf-engine correctness gate (on device; scalar readback) ----
-    # The measured kernel IS the gated kernel — no precision rerouting can
-    # sneak an XLA fallback into the gate while Pallas takes the timing.
-    if on_tpu:
-        def _make_relerr(eng_fn):
-            @jax.jit
-            def _relerr(a_eng, at_ref, bt):
-                c_perf = eng_fn(a_eng, bt)
-                atf = at_ref.astype(jnp.float32)
-                btf = bt.astype(jnp.float32)
-                c_ref = jnp.zeros((nC, tm, tn), jnp.float32)
-                step = 2048
-                for s in range(-(-W // step)):
-                    sl = slice(s * step, min((s + 1) * step, W))
-                    part = jax.lax.dot_general(
-                        atf[ai[sl]], btf[bi[sl]],
-                        dimension_numbers=(((2,), (1,)), ((0,), (0,))),
-                        preferred_element_type=jnp.float32,
-                        precision=jax.lax.Precision.HIGHEST,
-                    )
-                    c_ref = c_ref.at[oi[sl]].add(part)
-                return (jnp.max(jnp.abs(c_perf.astype(jnp.float32) - c_ref))
-                        / jnp.max(jnp.abs(c_ref)))
-            return _relerr
-
-        perf_relerr = float(_make_relerr(engine)(at, at, bt))
-        if not perf_relerr < 2e-2:  # bf16 inputs, f32 accumulation
-            print(json.dumps({
-                "metric": "spgemm_pct_sol", "value": 0.0, "unit": "%",
-                "vs_baseline": 0.0,
-                "error": f"perf-engine correctness gate failed "
-                         f"(relerr={perf_relerr:.3e})",
-            }))
-            return 1
-    else:
-        perf_relerr = 0.0
+    if not on_tpu:
+        # CPU fallback (driver compile-check environments): correctness
+        # only, no meaningful %-of-SoL off-hardware
+        print(json.dumps({
+            "metric": "spgemm_pct_sol", "value": 0.0, "unit": "%",
+            "vs_baseline": 0.0,
+            "detail": {"backend": backend, "note": "cari gate passed; "
+                       "suite runs on TPU only"},
+        }))
+        return 0
 
     rt = measure_roundtrip()
-    elapsed = device_time(engine, (at, bt), k=16, trials=5, roundtrip=rt)
 
-    # ---- panel-dot candidate: gate, time, select the faster engine ----
-    engine_used = "cached"
-    panel_info = {}
-    if on_tpu:
-        try:
-            try:
-                panel_engine, at_t, pa, pb = _build_panel_engine()
-                panel_relerr = float(
-                    _make_relerr(panel_engine)(at_t, at, bt))
-            except Exception:
-                # slimmer config if the first overflows VMEM
-                panel_engine, at_t, pa, pb = _build_panel_engine(
-                    (8, 8, 3, 3, 4))
-                panel_relerr = float(
-                    _make_relerr(panel_engine)(at_t, at, bt))
-            if not panel_relerr < 2e-2:
-                raise ValueError(f"panel gate relerr={panel_relerr:.3e}")
-            panel_elapsed = device_time(panel_engine, (at_t, bt), k=16,
-                                        trials=5, roundtrip=rt)
-            panel_info = {
-                "panel_elapsed_ms": round(panel_elapsed * 1e3, 3),
-                "panel_relerr": round(panel_relerr, 6),
-                # the panel engine's own planned HBM traffic (its plans
-                # duplicate tiles for adjacency, so this sits between the
-                # Belady unique-byte and naive streaming bounds)
-                "panel_hbm_gb": round(
-                    ((pa.n_loads * tm * tk + pb.n_loads * tk * tn) * isz
-                     + nC * tm * tn * 2) / 1e9, 3),
-            }
-            if panel_elapsed < elapsed:
-                engine_used = "panel"
-                elapsed = panel_elapsed
-                perf_relerr = panel_relerr
-        except Exception as e:  # Mosaic rejection / VMEM overflow / gate
-            panel_info = {"panel_error": str(e)[:160]}
+    # cari on-device engine time (detail only, excluded from the median: at
+    # 400x1200 the launch overhead dominates and %-of-SoL would measure the
+    # runtime, not the kernel — it is the correctness anchor, reported for
+    # the per-matrix suite table)
+    cari_detail = {"name": "cari", "engine": res.engine_used,
+                   "in_median": False}
+    try:
+        from spada_tpu.ops.spgemm import measure_device_perf
 
-    # ---- speed-of-light: naive streaming + Belady unique-byte bounds ----
-    c_bytes = nC * tm * tn * (2 if on_tpu else 4)  # bf16 C on TPU
-    bytes_naive = W * (tm * tk + tk * tn) * isz + c_bytes
-    mxu_flops = 2 * W * tm * tk * tn
-    t_sol = max(bytes_naive / config.hbm_bytes_per_s,
-                mxu_flops / config.peak_flops_bf16)
-    pct = 100.0 * t_sol / elapsed if on_tpu else 0.0
-    if on_tpu:
-        bytes_belady = (a_plan.n_loads * tm * tk
-                        + b_plan.n_loads * tk * tn) * isz + c_bytes
-        t_sol_belady = max(bytes_belady / config.hbm_bytes_per_s,
-                           mxu_flops / config.peak_flops_bf16)
-        pct_belady = 100.0 * t_sol_belady / elapsed
-    else:
-        bytes_belady, pct_belady = bytes_naive, 0.0
+        dflow = "element" if res.engine_used == "element" else "spada"
+        dev = measure_device_perf(w.a, w.b, config, dataflow=dflow)
+        if dev:
+            cari_detail.update({
+                "elapsed_ms": round(dev["engine_s"] * 1e3, 4),
+                "gflops": round(dev["flops_per_s"] / 1e9, 1),
+            })
+    except Exception as e:
+        cari_detail["error"] = str(e)[:120]
 
-    # ---- irregular workload: SuiteSparse-like scattered structure ----
-    # (uniform-column powerlaw; tiles are near-empty so the tile engine is
-    # off the table — this measures the element/ESC engine end to end)
-    irr = _bench_irregular(config, on_tpu)
+    entries = []
 
+    a = banded_csr(65536, 65536, bandwidth=384, seed=0, dtype=np.float32)
+    b = banded_csr(65536, 65536, bandwidth=384, seed=1, dtype=np.float32)
+    entries.append(_tile_entry("banded", a, b, config, 384, rt))
+
+    a = banded_offset_csr(65536, 65536, 384, 192, seed=0, dtype=np.float32)
+    b = banded_offset_csr(65536, 65536, 384, 192, seed=1, dtype=np.float32)
+    entries.append(
+        _tile_entry("banded_off", a, b, config, 384, rt, densify=True))
+
+    # avg degree 32: ~0.7 GB streamed, honestly HBM-bound (at deg 16 the
+    # 0.34 ms execution is ~15% launch/ramp overhead)
+    a = localized_powerlaw_csr(65536, 65536, 32.0, seed=1, dtype=np.float32)
+    b = localized_powerlaw_csr(65536, 65536, 32.0, seed=2, dtype=np.float32)
+    entries.append(_element_entry("locpl", a, b, config, rt))
+
+    a = rmat_csr(32768, 12.0, seed=1, dtype=np.float32)
+    b = rmat_csr(32768, 12.0, seed=2, dtype=np.float32)
+    entries.append(_element_entry("rmat", a, b, config, rt))
+
+    ok = [e for e in entries if "pct_sol" in e]
+    errs = [e for e in entries if "error" in e]
+    if not ok:
+        print(json.dumps({
+            "metric": "spgemm_pct_sol", "value": 0.0, "unit": "%",
+            "vs_baseline": 0.0,
+            "error": "; ".join(f"{e['name']}: {e['error']}" for e in errs),
+        }))
+        return 1
+    # a gate failure anywhere zeroes the headline — a fast wrong kernel
+    # must not score
+    value = 0.0 if errs else float(np.median([e["pct_sol"] for e in ok]))
     print(json.dumps({
         "metric": "spgemm_pct_sol",
-        "value": round(pct, 2),
+        "value": round(value, 2),
         "unit": "%",
-        "vs_baseline": round(pct / 70.0, 4),
+        "vs_baseline": round(value / 70.0, 4),
         "detail": {
             "backend": backend,
-            "engine": engine_used if on_tpu else "xla",
-            **panel_info,
-            "elapsed_ms": round(elapsed * 1e3, 3),
-            "sol_ms": round(t_sol * 1e3, 3),
-            "pct_sol_belady": round(pct_belady, 2),
-            "sol_belady_ms": round(t_sol_belady * 1e3, 3) if on_tpu else 0.0,
-            "hbm_gb_naive": round(bytes_naive / 1e9, 3),
-            "hbm_gb_belady": round(bytes_belady / 1e9, 3),
-            "perf_engine_relerr": round(perf_relerr, 6),
-            "roundtrip_ms": round(rt * 1e3, 1),
-            "n": n, "tile": tm, "work_items": int(W), "c_tiles": int(nC),
-            "mxu_floor_ms": round(mxu_flops / config.peak_flops_bf16 * 1e3,
-                                  3),
-            "effective_gflops": round(mxu_flops / elapsed / 1e9, 1),
-            "irregular": irr,
+            "aggregation": "median over suite of per-workload pct_sol",
+            "suite": entries,
+            "cari": cari_detail,
         },
     }))
     return 0
-
-
-def _bench_irregular(config, on_tpu: bool) -> dict:
-    """Element-engine benchmark on scattered (SuiteSparse-like) structure.
-
-    Round-1 had no execution path at all here (VERDICT.md Missing #1): the
-    tile engine needed 85 ms on this matrix.  Reports device exec time,
-    streamed bandwidth, %-of-HBM-SoL for the plan's actual bytes, and the
-    padding efficiency.
-    """
-    import jax
-    import jax.numpy as jnp
-
-    from spada_tpu.io.workloads import localized_powerlaw_csr
-    from spada_tpu.ops.element import (build_esc_plan, esc_operands,
-                                       esc_transfer, _esc_execute_jit)
-    from spada_tpu.utils.timing import device_time
-
-    n = 16384 if on_tpu else 2048
-    a = localized_powerlaw_csr(n, n, 16.0, seed=1, dtype=np.float32)
-    b = localized_powerlaw_csr(n, n, 16.0, seed=2, dtype=np.float32)
-    plan = build_esc_plan(a, b)
-    ops = esc_transfer(esc_operands(plan, a, b))
-    run = _esc_execute_jit()
-
-    # correctness on the measured engine (small slice via scipy oracle)
-    import scipy.sparse as sp
-
-    vals = np.zeros(plan.nnz_c, np.float64)
-    np.add.at(vals, plan.esc_to_csr, np.asarray(run(ops)))
-    got = sp.csr_matrix((vals, plan.indices, plan.indptr), shape=plan.shape)
-    ref = (a.to_scipy() @ b.to_scipy()).tocsr()
-    ref.sort_indices()
-    err = abs(got - ref).max() / max(abs(ref).max(), 1e-30)
-    if not err < 1e-3:
-        return {"error": f"element correctness failed (relerr={err:.3e})"}
-
-    if not on_tpu:
-        return {"n": n, "nnz_c": plan.nnz_c, "backend": "cpu"}
-
-    flat = [x for pair in ops for x in pair]
-
-    def fn(first, *rest):
-        xs = (first,) + rest
-        # perturb EVERY operand so no bucket hoists out of the timing loop
-        eps = (jnp.sum(first[:1]) * 1e-30).astype(first.dtype)
-        pairs = tuple((xs[2 * i] + eps, xs[2 * i + 1])
-                      for i in range(len(xs) // 2))
-        return run(pairs)
-
-    el = device_time(fn, tuple(flat), k=32, trials=5)
-    bytes_str = plan.operand_bytes()
-    t_sol = bytes_str / config.hbm_bytes_per_s
-    return {
-        "n": n, "nnz_a": int(a.nnz), "nnz_c": plan.nnz_c,
-        "e_products": plan.n_products,
-        "elapsed_ms": round(el * 1e3, 4),
-        "pct_sol": round(100.0 * t_sol / el, 2),
-        "stream_gbps": round(bytes_str / el / 1e9, 1),
-        "density_efficiency": round(plan.density_efficiency, 4),
-        "relerr": round(float(err), 8),
-    }
 
 
 if __name__ == "__main__":

@@ -100,6 +100,12 @@ class TrafficReport:
     c_touched_words: int
     c_final_words: int
     word_byte: int = 8
+    # per-window / per-merge task components for the latency accumulation
+    # (simulator.rs:589-631): set by the Python model, None on the native
+    # full-K fast path.  window_tasks rows: (mults, psum_len, traffic_words,
+    # n_fills); merge_tasks rows: (merged_len, traffic_words, refilled)
+    window_tasks: Optional[np.ndarray] = None
+    merge_tasks: Optional[np.ndarray] = None
 
     @property
     def b_reuse(self) -> float:
@@ -140,6 +146,15 @@ class TrafficReport:
           ``pe_num`` PEs filling independently the machine-wide exposure is
           ``fill_count * per_fill / pe_num``.
 
+        When the Python model ran, ``windowed_cycles`` carries the tighter
+        per-window accumulation — each window/merge task costs
+        ``max(compute, traffic / BW-share, exposed fill latency)`` and the
+        sums are divided across the units that run them (PEs for windows,
+        adder trees for merges), exactly the shape of the reference's
+        accounting at simulator.rs:589-631 — and is preferred over the
+        machine-wide max.  The native full-K fast path reports only the
+        machine-wide bounds.
+
         This is the exec-cycle metric of ``main.rs:104`` at roofline
         (round-based) accuracy; tests validate it against hand-walked
         schedules.
@@ -147,19 +162,63 @@ class TrafficReport:
         from spada_tpu.config import SpadaConfig
 
         config = config or SpadaConfig()
+        mem_cycles = int(
+            self.dram_bytes / max(config.bandwidth_bytes_per_cycle, 1e-9)
+        )
+        if self.window_tasks is not None:
+            # per-window accumulation folds compute/traffic/latency maxima
+            # per task; the machine-wide DRAM bound stays as a floor
+            # (windows on different PEs still share one memory system)
+            return max(self.windowed_cycles(config), mem_cycles)
         lanes = max(config.pe_num * config.lane_num, 1)
         mult_cycles = useful_mults // lanes
         merge_units = max(config.pe_num + config.at_num, 1)
         merge_cycles = (self.c_touched_words // 2) // merge_units
         compute_cycles = mult_cycles + merge_cycles
-        mem_cycles = int(
-            self.dram_bytes / max(config.bandwidth_bytes_per_cycle, 1e-9)
-        )
         per_fill = config.mem_latency + config.cache_latency
         latency_cycles = (
             self.cache.fill_count * per_fill // max(config.pe_num, 1)
         )
         return max(compute_cycles, mem_cycles, latency_cycles)
+
+    def windowed_cycles(self, config=None) -> int:
+        """Per-task latency accumulation (simulator.rs:589-631).
+
+        Each window task costs ``max(compute, traffic / PE-bandwidth-share,
+        exposed fill latency)`` where compute is the slower of the lane
+        multipliers and the sorting-network/merge-tree drain (1 element per
+        cycle) plus their pipeline latency, and only the first fill's
+        latency is exposed (later fills overlap compute across the window's
+        lane stream buffers, storage.rs:737-774).  Merge tasks run on the
+        adder trees (1 min-element per cycle, adder_tree.rs:145-171).
+        Window tasks spread over pe_num PEs and merge tasks over at_num
+        adder trees, concurrently (simulator.rs:529, 838): elapsed is the
+        slower of the two balanced sums.
+        """
+        from spada_tpu.config import SpadaConfig
+
+        config = config or SpadaConfig()
+        per_fill = config.mem_latency + config.cache_latency
+        pe_bw = config.bandwidth_bytes_per_cycle / max(config.pe_num, 1)
+        at_bw = config.bandwidth_bytes_per_cycle / max(config.at_num, 1)
+        pe_sum = 0
+        if self.window_tasks is not None and len(self.window_tasks):
+            wt = self.window_tasks
+            compute = (np.maximum(
+                -(-wt[:, 0] // max(config.lane_num, 1)), wt[:, 1])
+                + config.sn_latency + config.mt_latency)
+            traffic = (wt[:, 2] * config.word_byte / pe_bw).astype(np.int64)
+            lat = np.where(wt[:, 3] > 0, per_fill, 0)
+            pe_sum = int(np.maximum(np.maximum(compute, traffic), lat).sum())
+        at_sum = 0
+        if self.merge_tasks is not None and len(self.merge_tasks):
+            mt = self.merge_tasks
+            compute = mt[:, 0] + config.mt_latency
+            traffic = (mt[:, 1] * config.word_byte / at_bw).astype(np.int64)
+            lat = np.where(mt[:, 2] > 0, per_fill, 0)
+            at_sum = int(np.maximum(np.maximum(compute, traffic), lat).sum())
+        return max(-(-pe_sum // max(config.pe_num, 1)),
+                   -(-at_sum // max(config.at_num, 1)))
 
     def as_dict(self) -> dict:
         return {
@@ -333,20 +392,33 @@ def simulate_traffic(
     out_cols: List[np.ndarray] = []
     out_vals: List[np.ndarray] = []
 
+    # ---- per-window latency accumulation (simulator.rs:589-631) ----
+    # raw task components collected here; TrafficReport.windowed_cycles
+    # folds them under any machine config
+    window_tasks: List[Tuple[int, int, int, int]] = []
+    merge_tasks: List[Tuple[int, int, int]] = []
+
+    def dram_words() -> int:
+        return (a_mem.read_count + a_mem.write_count + b_mem.read_count
+                + b_mem.write_count + psum_mem.read_count
+                + psum_mem.write_count)
+
     psum_uid = 0
     for i, r in enumerate(row_order):
         s, e = a.indptr[r], a.indptr[r + 1]
         n_scalars = int(e - s)
         if n_scalars == 0:
             continue
-        # A scalars fetched once per window (read_scalars, scheduler.rs:556)
-        a_mem.read_count += 2 * n_scalars
-
         wk = window_k or n_scalars
         partials: List[Tuple[int, np.ndarray, np.ndarray]] = []  # (uid, cols, vals)
         for ws in range(0, n_scalars, wk):
+            w_dram0 = dram_words()
+            w_fills0 = cstats.fill_count
+            # A scalars fetched per window (read_scalars, scheduler.rs:556)
+            a_mem.read_count += 2 * min(wk, n_scalars - ws)
             wcols = a.indices[s + ws : s + min(ws + wk, n_scalars)].astype(np.int64)
             wvals = a.data[s + ws : s + min(ws + wk, n_scalars)]
+            w_mults = int(b_lens[wcols].sum())
             seg_cols: List[np.ndarray] = []
             seg_vals: List[np.ndarray] = []
             for j, k in enumerate(wcols):
@@ -394,11 +466,16 @@ def simulate_traffic(
             cache.insert(key, pw, cache.addr_of(key), evict_cb)
             partials.append((psum_uid, ucols, uvals))
             psum_uid += 1
+            window_tasks.append((w_mults, len(ucols),
+                                 dram_words() - w_dram0,
+                                 cstats.fill_count - w_fills0))
 
         # pairwise-merge partials (merge_task semantics, scheduler.rs:381-480)
         while len(partials) > 1:
             merged: List[Tuple[int, np.ndarray, np.ndarray]] = []
             for idx in range(0, len(partials) - 1, 2):
+                m_dram0 = dram_words()
+                m_psum_reads0 = psum_mem.read_count
                 u1, c1, v1 = partials[idx]
                 u2, c2, v2 = partials[idx + 1]
                 for uid, cc in ((u1, c1), (u2, c2)):
@@ -430,6 +507,8 @@ def simulate_traffic(
                 cache.insert(key, mw, cache.addr_of(key), evict_cb)
                 merged.append((psum_uid, mc, mv))
                 psum_uid += 1
+                merge_tasks.append((len(mc), dram_words() - m_dram0,
+                                    psum_mem.read_count - m_psum_reads0))
             if len(partials) % 2:
                 merged.append(partials[-1])
             partials = merged
@@ -461,6 +540,8 @@ def simulate_traffic(
         b_touched_words=b_touched_words, b_distinct_words=b_distinct_words,
         c_touched_words=c_touched_words, c_final_words=c_final_words,
         word_byte=config.word_byte,
+        window_tasks=np.asarray(window_tasks, dtype=np.int64).reshape(-1, 4),
+        merge_tasks=np.asarray(merge_tasks, dtype=np.int64).reshape(-1, 3),
     )
     return FunctionalResult(report=report, c=c)
 

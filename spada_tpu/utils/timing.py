@@ -36,21 +36,21 @@ def measure_roundtrip(n: int = 5) -> float:
     return float(np.median(ts))
 
 
-def device_time(
+def device_time_stats(
     fn: Callable,
     args: Sequence,
     k: int = 8,
     trials: int = 3,
     roundtrip: float | None = None,
-) -> float:
-    """Seconds per execution of ``fn(*args) -> array``.
+):
+    """(median seconds, slope samples) per execution of ``fn(*args)``.
 
     ``fn`` must accept its first argument perturbed by a traced scalar
     (the loop-carry dependency): it is called as ``fn(args[0] + eps, *rest)``
-    where ``eps`` is a tiny traced scalar.  Returns the median over
-    ``trials`` of the two-point slope (the median rejects shared-pool
-    interference spikes in either direction; a min over slope samples could
-    go negative under jitter).
+    where ``eps`` is a tiny traced scalar.  The median over ``trials`` of
+    the two-point slope rejects shared-pool interference spikes in either
+    direction (a min over slope samples could go negative under jitter);
+    the raw samples quantify that session's spread.
     """
     import jax
     import jax.numpy as jnp
@@ -86,4 +86,19 @@ def device_time(
         t1 = run_once(k)
         t4 = run_once(4 * k)
         samples.append((t4 - t1) / (3 * k))
-    return max(float(np.median(samples)), 1e-9)
+    return max(float(np.median(samples)), 1e-9), samples
+
+
+def device_time(
+    fn: Callable,
+    args: Sequence,
+    k: int = 8,
+    trials: int = 3,
+    roundtrip: float | None = None,
+) -> float:
+    """Seconds per execution of ``fn(*args) -> array`` (median of slopes).
+
+    See :func:`device_time_stats` for the measurement contract; this is the
+    median-only convenience used throughout the engines."""
+    return device_time_stats(fn, args, k=k, trials=trials,
+                             roundtrip=roundtrip)[0]

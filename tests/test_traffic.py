@@ -311,20 +311,58 @@ def test_consume_miss_counts_read_and_miss():
 
 
 def test_estimated_cycles_hand_walked():
-    """Latency-aware cycle estimate validated on the hand-walked schedule:
-    4 fills x (30+0) latency / 2 PEs = 60 dominates both the compute side
-    (8 mults / 16 lanes + 8 merge elems / 18 units = 0) and the memory side
-    (40 words x 8 B / 128 B-per-cycle = 2)."""
+    """Per-window latency accumulation (simulator.rs:589-631) validated on a
+    hand-walked 3-row schedule.  Window tasks (mults, psum_len, traffic
+    words, fills): r0 = (4, 4, 12, 2) — A 4w + B0/B1 fills 8w; r1 = r2 =
+    (2, 2, 6, 1).  Per-window cost = max(compute, traffic/BW-share, fill
+    latency): compute r0 = max(ceil(4/8), 4) + 4 + 4 = 12, r1/r2 = 10;
+    traffic r0 = 12*8 B / (128/2 B-per-cycle) = 1; latency = 30 everywhere
+    (every window fills).  Sum 90 over 2 PEs = 45."""
     a = _csr_from_rows((3, 3), [[0, 1], [2], [0]])
     b = _csr_from_rows((3, 6), [[0, 1], [2, 3], [4, 5]])
     cfg = SpadaConfig(cache_size=12 * 8, word_byte=8)
     r = simulate_traffic(a, b, cfg, compute_values=False,
                          backend="python").report
     assert r.dram_bytes == 40 * 8
-    assert r.estimated_cycles(cfg, useful_mults=8) == 60
-    # with zero memory latency the memory roofline (2 cycles) takes over
+    assert r.window_tasks.tolist() == [[4, 4, 12, 2], [2, 2, 6, 1],
+                                       [2, 2, 6, 1]]
+    assert r.estimated_cycles(cfg, useful_mults=8) == 45
+    # with zero memory latency the per-window compute side takes over:
+    # (12 + 10 + 10) / 2 PEs = 16 (machine memory floor is only 2)
     fast = SpadaConfig(cache_size=12 * 8, mem_latency=0)
-    assert r.estimated_cycles(fast, useful_mults=8) == 2
+    assert r.estimated_cycles(fast, useful_mults=8) == 16
+
+
+def test_windowed_cycles_merge_tasks_hand_walked():
+    """Windowed schedule with a PE merge: one row of 4 A-scalars split at
+    window_k=2 gives two (4, 4, 12, 2) window tasks (30 each, latency-bound)
+    and one merge task of 8 elements, cache-resident (traffic 0, no refill):
+    max(8 + mt_latency, 0, 0) = 12 on 16 adder trees -> 1.  Elapsed =
+    max(60/2, 12/16) = 30."""
+    a = _csr_from_rows((1, 4), [[0, 1, 2, 3]])
+    b = _csr_from_rows((4, 8), [[0, 1], [2, 3], [4, 5], [6, 7]])
+    cfg = SpadaConfig(cache_size=64 * 8, word_byte=8)
+    r = simulate_traffic(a, b, cfg, window_k=2, compute_values=False,
+                         backend="python").report
+    assert r.window_tasks.tolist() == [[4, 4, 12, 2], [4, 4, 12, 2]]
+    assert r.merge_tasks.tolist() == [[8, 0, 0]]
+    assert r.estimated_cycles(cfg) == 30
+
+
+def test_windowed_cycles_traffic_bound_hand_walked():
+    """With 1 B/cycle of bandwidth and zero latency the traffic term binds:
+    window r0 moves 12 words x 8 B at a 0.5 B/cycle PE share = 192 cycles
+    (compute only 12), r1/r2 move 6 words = 96 each.  Sum 384 over 2 PEs =
+    192; the machine-wide DRAM floor is 40 words x 8 B / 1 = 320, which is
+    LARGER (windows share one memory system) and therefore wins."""
+    a = _csr_from_rows((3, 3), [[0, 1], [2], [0]])
+    b = _csr_from_rows((3, 6), [[0, 1], [2, 3], [4, 5]])
+    cfg = SpadaConfig(cache_size=12 * 8, word_byte=8, mem_latency=0,
+                      channel=1, bandwidth_per_channel=1.0)
+    r = simulate_traffic(a, b, cfg, compute_values=False,
+                         backend="python").report
+    assert r.windowed_cycles(cfg) == 192
+    assert r.estimated_cycles(cfg, useful_mults=8) == 320
 
 
 def test_psum_priority_is_address():

@@ -149,8 +149,10 @@ def main():
     )
 
     from spada_tpu.config import SpadaConfig
-    from spada_tpu.io.workloads import (banded_csr, localized_powerlaw_csr,
-                                        powerlaw_csr)
+    from spada_tpu.io.workloads import (GemmWorkload, banded_csr,
+                                        banded_offset_csr,
+                                        localized_powerlaw_csr, powerlaw_csr,
+                                        rmat_csr)
     from spada_tpu.ops.worklist import build_worklist
     from spada_tpu.plan.planner import (_slice_rows_padded, choose_tile_size,
                                         plan_spgemm)
@@ -192,6 +194,17 @@ def main():
             mixed_a,
             localized_powerlaw_csr(n, n, 24.0, window_frac=0.01,
                                    hub_frac=0.02, seed=12, dtype=np.float32),
+        ),
+        # densify-payoff structures (VERDICT r2 #1): a band displaced off
+        # the diagonal (k-anchor recovers grid alignment) and an R-MAT
+        # scale-free graph (degree-clustering permutations densify tiles)
+        "banded-offset": (
+            banded_offset_csr(n, n, 192, 96, seed=6, dtype=np.float32),
+            banded_offset_csr(n, n, 192, 96, seed=7, dtype=np.float32),
+        ),
+        "rmat": (
+            rmat_csr(n, 12.0, seed=8, dtype=np.float32),
+            rmat_csr(n, 12.0, seed=9, dtype=np.float32),
         ),
     }
     # NN category: pruned bert_ffn1 weight x ReLU-sparse activations,
@@ -236,6 +249,24 @@ def main():
                     print(f"{name} panel: {elp*1e3:.2f}ms", flush=True)
                 except Exception as e:
                     print(f"{name} panel: failed ({e})", flush=True)
+
+        # densify on/off at the chosen tile size (VERDICT r2 #1 done
+        # criterion): the planner's layout transform vs natural order
+        w2, dplan = GemmWorkload(name, a, b).preprocess_densified(
+            cfg, tm=t_best, tk=t_best, tn=t_best)
+        if not dplan.is_identity:
+            a_bsr2 = BsrMatrix.from_csr(w2.a, t_best, t_best,
+                                        dtype=np.float32)
+            b_bsr2 = BsrMatrix.from_csr(w2.b, t_best, t_best,
+                                        dtype=np.float32)
+            wl2 = build_worklist(a_bsr2, b_bsr2, order="row")
+            el2 = time_worklist(wl2, a_bsr2.tiles, b_bsr2.tiles, rt)
+            results[f"tm{t_best}+densify {dplan.candidate}"] = (
+                el2, wl2.n_items)
+            print(f"{name} densify[{dplan.candidate}]: {el2*1e3:.2f}ms "
+                  f"W={wl2.n_items}", flush=True)
+        else:
+            print(f"{name} densify: identity (already aligned)", flush=True)
 
         # spada plan: per-segment engine time
         plan = plan_spgemm(a, b, cfg)
