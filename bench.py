@@ -203,7 +203,10 @@ def _element_entry(name, a, b, config, rt, gate_rows=2048):
     out = {"name": name, "engine": "element"}
     plan = build_esc_plan(a, b)
     ops = esc_transfer(esc_operands(plan, a, b))
-    run = _esc_execute_jit()
+    # bf16 chunk-value writeback (f32 products/merges): matches the tile
+    # entries' f32-accumulate/bf16-C convention and halves the output
+    # bytes — VMEM->HBM writes run well below the read rate on this chip
+    run = _esc_execute_jit(out_dtype=jnp.bfloat16)
 
     # gate on rows [0, gate_rows): gather those chunks on device, read back
     # only the slice (full nnz(C) readback would be minutes over the tunnel)
@@ -212,7 +215,8 @@ def _element_entry(name, a, b, config, rt, gate_rows=2048):
                                 side="right") - 1
     sel = np.nonzero(chunk_row < gate_rows)[0]
     nnz_slice = int(plan.indptr[gate_rows])
-    sub = np.asarray(jnp.take(vals_dev, jnp.asarray(sel.astype(np.int32))))
+    sub = np.asarray(jnp.take(vals_dev, jnp.asarray(sel.astype(np.int32)))
+                     ).astype(np.float64)
     data = np.zeros(nnz_slice, np.float64)
     np.add.at(data, plan.esc_to_csr[sel], sub)
     got = sp.csr_matrix(
@@ -221,7 +225,7 @@ def _element_entry(name, a, b, config, rt, gate_rows=2048):
     ref = (a.to_scipy()[:gate_rows] @ b.to_scipy()).tocsr()
     ref.sort_indices()
     err = abs(got - ref).max() / max(abs(ref).max(), 1e-30)
-    if not err < 1e-3:
+    if not err < 5e-3:  # bf16 chunk-value store; products/merges are f32
         out["error"] = f"element gate failed (relerr={err:.3e})"
         return out
 
@@ -237,7 +241,7 @@ def _element_entry(name, a, b, config, rt, gate_rows=2048):
 
     elapsed, samples = device_time_stats(fn, tuple(flat), k=16, trials=5,
                                          roundtrip=rt)
-    bytes_str = plan.operand_bytes()
+    bytes_str = plan.operand_bytes(out_itemsize=2)  # bf16 chunk store
     t_sol = bytes_str / config.hbm_bytes_per_s
     out.update({
         "elapsed_ms": round(elapsed * 1e3, 4),

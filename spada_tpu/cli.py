@@ -228,7 +228,9 @@ def _tile_bytes(res) -> int:
     half the bytes of f32).
     """
     if getattr(res, "element", None) is not None:  # ESC element path
-        return res.element.plan.operand_bytes()
+        el = res.element
+        return (el.plan.operand_bytes() if hasattr(el, "plan")
+                else el.operand_bytes())
     if hasattr(res, "segments"):  # PlanResult
         total = 0
         for seg in res.segments:

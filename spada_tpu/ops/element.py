@@ -86,9 +86,10 @@ class EscPlan:
         """Useful products / streamed product slots (padding overhead)."""
         return self.n_products / self.n_padded if self.n_padded else 1.0
 
-    def operand_bytes(self, itemsize: int = 4) -> int:
+    def operand_bytes(self, itemsize: int = 4, out_itemsize: int = 4) -> int:
         """HBM bytes one execution streams (operands + output)."""
-        return 2 * self.n_padded * itemsize + len(self.esc_to_csr) * 4
+        return (2 * self.n_padded * itemsize
+                + len(self.esc_to_csr) * out_itemsize)
 
 
 def _ceil_pow2(x: np.ndarray) -> np.ndarray:
@@ -159,6 +160,15 @@ def _build_esc_plan_numpy(a: CsrMatrix, b: CsrMatrix, cap: int) -> EscPlan:
     b_lens = np.diff(b.indptr)
     fan = b_lens[a.indices]                       # products per A nonzero
     E = int(fan.sum())
+    if E >= 2**31:
+        # fail loudly: int32 gather indices overflow AND the host arrays
+        # here are ~20 bytes/product (>40 GB) — this is not a slow path,
+        # it is an out-of-range one.  spgemm_element slabs rows to stay
+        # under the range automatically.
+        raise ValueError(
+            f"ESC plan expansion E={E} exceeds the single-plan range "
+            f"(2^31 products); use spgemm_element, which streams row "
+            f"slabs, or slab rows yourself")
     if E == 0:
         return EscPlan((m, n_cols), np.zeros(m + 1, np.int64),
                        np.zeros(0, np.int32), np.zeros(0, np.int32), [], 0, 0)
@@ -266,21 +276,28 @@ def esc_operands(plan: EscPlan, a: CsrMatrix, b: CsrMatrix,
     return [(a_ext[bk.a_gidx], b_ext[bk.b_gidx]) for bk in plan.buckets]
 
 
-def _esc_execute_jit():
+def _esc_execute_jit(out_dtype=None):
+    """Device numeric phase; ``out_dtype`` narrows the chunk-value store
+    (bf16 halves the output write bytes — VMEM->HBM writes run well below
+    the read rate on v5e, so the write side is the binding half of the
+    stream mix; products and merges always accumulate in f32, matching the
+    tile engines' f32-accumulate/bf16-writeback convention)."""
     import jax
+    import jax.numpy as jnp
+
+    out_dtype = out_dtype or jnp.float32
 
     @jax.jit
     def run(operands):
-        import jax.numpy as jnp
-
         outs = []
         for av, bv in operands:
             prod = (av * bv).astype(jnp.float32)
             if prod.ndim == 1 or prod.shape[1] == 1:
-                outs.append(prod.reshape(-1))
+                outs.append(prod.reshape(-1).astype(out_dtype))
             else:
-                outs.append(jnp.sum(prod, axis=1))
-        return jnp.concatenate(outs) if outs else jnp.zeros(0, jnp.float32)
+                outs.append(jnp.sum(prod, axis=1).astype(out_dtype))
+        return (jnp.concatenate(outs) if outs
+                else jnp.zeros(0, out_dtype))
 
     return run
 
@@ -317,8 +334,10 @@ class EscResult:
     def to_csr(self) -> CsrMatrix:
         data = np.zeros(self.plan.nnz_c, np.float64)
         # oversized segments contributed several partial chunks at the same
-        # CSR position; add-at combines them (the final psum merge)
-        np.add.at(data, self.plan.esc_to_csr, np.asarray(self.values))
+        # CSR position; add-at combines them (the final psum merge); bf16
+        # chunk values upcast first (ml_dtypes add.at support is spotty)
+        np.add.at(data, self.plan.esc_to_csr,
+                  np.asarray(self.values).astype(np.float64))
         return CsrMatrix(self.plan.shape, self.plan.indptr,
                          self.plan.indices, data.astype(np.float32))
 
@@ -326,15 +345,101 @@ class EscResult:
         return self.to_csr().todense()
 
 
+@dataclasses.dataclass
+class EscSlabbedResult:
+    """Row-slab-streamed element result (nnz(C) and E beyond one plan).
+
+    The analog of the reference's psum spill machinery
+    (storage.rs:599-735) for the element path: rows are split so each
+    slab's expansion fits the planner range and the host/device operand
+    memory budget; slabs plan+execute independently (the ESC plan is
+    per-row separable) and concatenate exactly.
+    """
+
+    shape: Tuple[int, int]
+    parts: List[EscResult]
+    elapsed_s: float
+
+    @property
+    def n_products(self) -> int:
+        return sum(p.plan.n_products for p in self.parts)
+
+    @property
+    def n_padded(self) -> int:
+        return sum(p.plan.n_padded for p in self.parts)
+
+    @property
+    def nnz_c(self) -> int:
+        return sum(p.plan.nnz_c for p in self.parts)
+
+    def operand_bytes(self, itemsize: int = 4, out_itemsize: int = 4) -> int:
+        return sum(p.plan.operand_bytes(itemsize, out_itemsize)
+                   for p in self.parts)
+
+    def to_csr(self) -> CsrMatrix:
+        csrs = [p.to_csr() for p in self.parts]
+        indptr = np.concatenate(
+            [[0]] + [c.indptr[1:] + off for c, off in
+                     zip(csrs, np.cumsum([0] + [c.nnz for c in csrs])[:-1])]
+        ).astype(np.int64)
+        return CsrMatrix(
+            self.shape, indptr,
+            np.concatenate([c.indices for c in csrs]) if csrs else [],
+            np.concatenate([c.data for c in csrs]) if csrs else [],
+        )
+
+    def todense(self) -> np.ndarray:
+        return self.to_csr().todense()
+
+
+def _slice_rows(m: CsrMatrix, s: int, t: int) -> CsrMatrix:
+    lo, hi = int(m.indptr[s]), int(m.indptr[t])
+    return CsrMatrix((t - s, m.shape[1]), m.indptr[s : t + 1] - lo,
+                     m.indices[lo:hi], m.data[lo:hi])
+
+
+def _row_slab_bounds(a: CsrMatrix, b: CsrMatrix, max_products: int):
+    """Row boundaries such that each slab's expansion <= max_products
+    (a single row over the limit gets its own slab — its plan must still
+    fit the 2^31 range or the planner raises loudly)."""
+    blen = np.diff(b.indptr).astype(np.int64)
+    fan = blen[a.indices]
+    cs = np.concatenate([[0], np.cumsum(fan)])
+    row_e = cs[a.indptr[1:]] - cs[a.indptr[:-1]]
+    bounds = [0]
+    acc = 0
+    for r, e in enumerate(row_e):
+        if acc + e > max_products and r > bounds[-1]:
+            bounds.append(r)
+            acc = 0
+        acc += int(e)
+    bounds.append(a.shape[0])
+    return bounds
+
+
 def spgemm_element(a: CsrMatrix, b: CsrMatrix, cap: int = 512,
                    plan: Optional[EscPlan] = None,
-                   dtype=np.float32) -> EscResult:
+                   dtype=np.float32, max_slab_products: int = 2**28):
     """One-call element-granular SpGEMM (plan + operands + execute).
 
     ``elapsed_s`` times the device execution only (transfer is a one-time
-    format cost, like shipping BSR tiles).
+    format cost, like shipping BSR tiles).  Expansions larger than
+    ``max_slab_products`` (default 2^28 ≈ 2.1 GB of f32 operands) stream
+    through row slabs and return an :class:`EscSlabbedResult`.
     """
     global _esc_run
+    if (plan is None and a.shape[0] > 1
+            and expansion_products(a, b) > max_slab_products):
+        bounds = _row_slab_bounds(a, b, max_slab_products)
+        parts = []
+        elapsed = 0.0
+        for s, t in zip(bounds[:-1], bounds[1:]):
+            part = spgemm_element(_slice_rows(a, s, t), b, cap=cap,
+                                  dtype=dtype,
+                                  max_slab_products=max_slab_products)
+            parts.append(part)
+            elapsed += part.elapsed_s or 0.0
+        return EscSlabbedResult((a.shape[0], b.shape[1]), parts, elapsed)
     plan = plan or build_esc_plan(a, b, cap=cap)
     ops = esc_transfer(esc_operands(plan, a, b, dtype=dtype))
     if _esc_run is None:

