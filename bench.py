@@ -203,10 +203,11 @@ def _element_entry(name, a, b, config, rt, gate_rows=2048):
     out = {"name": name, "engine": "element"}
     plan = build_esc_plan(a, b)
     ops = esc_transfer(esc_operands(plan, a, b))
-    # bf16 chunk-value writeback (f32 products/merges): matches the tile
-    # entries' f32-accumulate/bf16-C convention and halves the output
-    # bytes — VMEM->HBM writes run well below the read rate on this chip
-    run = _esc_execute_jit(out_dtype=jnp.bfloat16)
+    # f32 end-to-end: bf16 chunk-value writeback was measured SLOWER
+    # (locpl 1.30 -> 1.56 ms, rmat 1.53 -> 2.00 ms) — the narrow-store
+    # lane packing/conversion costs more than the halved write bytes save,
+    # same as the bf16-operand probe (BENCH_NOTES)
+    run = _esc_execute_jit()
 
     # gate on rows [0, gate_rows): gather those chunks on device, read back
     # only the slice (full nnz(C) readback would be minutes over the tunnel)
@@ -225,7 +226,7 @@ def _element_entry(name, a, b, config, rt, gate_rows=2048):
     ref = (a.to_scipy()[:gate_rows] @ b.to_scipy()).tocsr()
     ref.sort_indices()
     err = abs(got - ref).max() / max(abs(ref).max(), 1e-30)
-    if not err < 5e-3:  # bf16 chunk-value store; products/merges are f32
+    if not err < 1e-3:
         out["error"] = f"element gate failed (relerr={err:.3e})"
         return out
 
@@ -241,7 +242,7 @@ def _element_entry(name, a, b, config, rt, gate_rows=2048):
 
     elapsed, samples = device_time_stats(fn, tuple(flat), k=16, trials=5,
                                          roundtrip=rt)
-    bytes_str = plan.operand_bytes(out_itemsize=2)  # bf16 chunk store
+    bytes_str = plan.operand_bytes()
     t_sol = bytes_str / config.hbm_bytes_per_s
     out.update({
         "elapsed_ms": round(elapsed * 1e3, 4),

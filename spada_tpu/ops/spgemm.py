@@ -366,7 +366,10 @@ def measure_device_perf(a: CsrMatrix, b: CsrMatrix,
             total += jnp.sum(c).astype(jnp.float32)
         return total
 
-    el = device_time(fn, tuple(args), k=8, trials=3)
+    # sub-100us launches need many chained iterations for the two-point
+    # slope to rise above the ~30ms round-trip jitter (cari measured "0.0")
+    k = 8 if mxu_flops > 1e10 else (32 if mxu_flops > 1e9 else 128)
+    el = device_time(fn, tuple(args), k=k, trials=3)
     return {
         "engine_s": el,
         "hbm_gbps": bytes_model / el / 1e9,

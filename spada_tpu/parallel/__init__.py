@@ -15,15 +15,21 @@ scheduler decomposition:
   the B tiles its worklist needs via a bucketed ``all_to_all`` exchange —
   the "ragged all-to-all" design of SURVEY.md §5.8, made static-shape by
   host-side capacity planning.
+- **element dp**: the scattered-structure (ESC) engine distributes by
+  E-balanced row slabs with ZERO collectives — the element plan gathers
+  every operand host-side, so row ownership is total (element_dp.py).
 
 PP/SP/EP are not meaningful for a single SpGEMM op (documented in
 SURVEY.md §2.3).
 """
 
+from spada_tpu.parallel.element_dp import (partition_element,
+                                           spgemm_element_dp)
 from spada_tpu.parallel.halo import partition_halo, spgemm_halo
 from spada_tpu.parallel.partition import (choose_parallel_strategy,
                                           partition_spgemm, ShardedProblem)
 from spada_tpu.parallel.spgemm import spgemm_sharded
 
 __all__ = ["partition_spgemm", "ShardedProblem", "spgemm_sharded",
-           "partition_halo", "spgemm_halo", "choose_parallel_strategy"]
+           "partition_halo", "spgemm_halo", "choose_parallel_strategy",
+           "partition_element", "spgemm_element_dp"]

@@ -1,0 +1,70 @@
+"""Distributed element path: dp row partition, zero communication."""
+
+import jax
+import numpy as np
+
+from spada_tpu.io.workloads import localized_powerlaw_csr, rmat_csr
+from spada_tpu.parallel.element_dp import (partition_element,
+                                           spgemm_element_dp)
+
+
+def _oracle(a, b):
+    return np.asarray((a.to_scipy() @ b.to_scipy()).todense())
+
+
+def test_element_dp_matches_scipy():
+    a = localized_powerlaw_csr(1024, 1024, 8.0, seed=60, dtype=np.float32)
+    b = localized_powerlaw_csr(1024, 1024, 8.0, seed=61, dtype=np.float32)
+    prob = partition_element(a, b, n_dev=8)
+    res = spgemm_element_dp(prob)
+    np.testing.assert_allclose(res.todense(), _oracle(a, b),
+                               rtol=1e-4, atol=1e-4)
+
+
+def test_element_dp_balances_by_expansion():
+    """Slabs are balanced by E, not rows — the hub-degree skew this engine
+    targets makes row-count balance meaningless."""
+    a = rmat_csr(2048, 8.0, seed=62, dtype=np.float32)
+    b = rmat_csr(2048, 8.0, seed=63, dtype=np.float32)
+    prob = partition_element(a, b, n_dev=4)
+    e = prob.e_per_shard.astype(np.float64)
+    assert e.max() / max(e.mean(), 1.0) < 2.0, e
+    res = spgemm_element_dp(prob)
+    np.testing.assert_allclose(res.todense(), _oracle(a, b),
+                               rtol=1e-4, atol=1e-4)
+
+
+def test_element_dp_program_has_no_collectives():
+    """The dp decomposition is communication-free by construction: the
+    jaxpr of the shard_map body must contain no collective primitive."""
+    import jax.numpy as jnp
+    from jax.experimental.shard_map import shard_map
+    from jax.sharding import Mesh, PartitionSpec as P
+
+    a = localized_powerlaw_csr(512, 512, 6.0, seed=64, dtype=np.float32)
+    b = localized_powerlaw_csr(512, 512, 6.0, seed=65, dtype=np.float32)
+    prob = partition_element(a, b, n_dev=8)
+
+    devs = jax.devices()[:8]
+    mesh = Mesh(np.array(devs), ("dp",))
+    n_classes = len(prob.classes)
+
+    def local(*flat):
+        outs = []
+        for i in range(n_classes):
+            av, bv = flat[2 * i][0], flat[2 * i + 1][0]
+            prod = (av * bv).astype(jnp.float32)
+            outs.append(prod.reshape(1, -1) if prod.shape[1] == 1
+                        else jnp.sum(prod, axis=1)[None])
+        return tuple(outs)
+
+    flat = []
+    for av, bv in zip(prob.a_stacked, prob.b_stacked):
+        flat += [jnp.asarray(av), jnp.asarray(bv)]
+    fn = shard_map(local, mesh=mesh,
+                   in_specs=tuple(P("dp") for _ in flat),
+                   out_specs=tuple(P("dp") for _ in range(n_classes)))
+    jaxpr = str(jax.make_jaxpr(fn)(*flat))
+    for coll in ("psum", "all_gather", "all_to_all", "ppermute",
+                 "reduce_scatter"):
+        assert coll not in jaxpr, coll

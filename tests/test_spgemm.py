@@ -294,3 +294,30 @@ def test_oversized_single_tile_run():
     np.testing.assert_allclose(np.asarray(out_s), ref, rtol=1e-5, atol=1e-5)
     # the aggregated plan stays per-item (no fabricated empties)
     assert len(ap.slot) == wl.n_items and len(bp.slot) == wl.n_items
+
+
+def test_cached_engine_uitems_pairing_matches_xla():
+    """Item-pairing mode (uitems=2: run tails padded with reserved
+    zero-slot dummy dots) == XLA oracle.  The mode measured slower on
+    hardware (BENCH_NOTES) but stays a kernel option for sweeps — this
+    pins its correctness so it cannot rot silently."""
+    from spada_tpu.io.workloads import powerlaw_csr, random_csr
+    from spada_tpu.ops.engine import run_worklist_cached, run_worklist_xla
+    from spada_tpu.ops.worklist import build_worklist
+    from spada_tpu.sparse.bsr import BsrMatrix
+
+    a = powerlaw_csr(256, 256, 12.0, seed=43)
+    b = random_csr(256, 256, 0.08, seed=44)
+    ab = BsrMatrix.from_csr(a, 64, 64, dtype=np.float32)
+    bb = BsrMatrix.from_csr(b, 64, 64, dtype=np.float32)
+    wl = build_worklist(ab, bb, order="row")
+    out, _, _ = run_worklist_cached(
+        ab.tiles, bb.tiles, wl.a_tid, wl.b_tid, wl.o_tid,
+        n_c_tiles=wl.n_c_tiles, a_slots=10, b_slots=12, depth=4,
+        precision="highest", uitems=2,
+    )
+    ref = np.asarray(run_worklist_xla(
+        ab.tiles, bb.tiles, wl.a_tid, wl.b_tid, wl.o_tid,
+        n_c_tiles=wl.n_c_tiles, precision="highest",
+    ))
+    np.testing.assert_allclose(np.asarray(out), ref, rtol=1e-5, atol=1e-5)
