@@ -561,12 +561,25 @@ def _simulate_native(a: CsrMatrix, b: CsrMatrix, config: SpadaConfig,
     b_sp = b.to_scipy().astype(bool)
     c_sp = (a_sp @ b_sp).tocsr()
     c_row_nnz = np.diff(c_sp.indptr).astype(np.int64)
-    out = native.traffic_simulate(
+    res = native.traffic_simulate(
         a.indptr, a.indices, b.row_lens(), row_order,
         config.cache_words, c_row_nnz[row_order],
     )
-    if out is None:
+    if res is None:
         return None
+    out, row_traffic, row_fills = res
+    # full-K window tasks (one per row with a nonempty psum), same
+    # components as the Python model's accumulation
+    b_lens = b.row_lens()
+    fan = b_lens[a.indices]
+    cs = np.concatenate([[0], np.cumsum(fan)])
+    row_mults = (cs[a.indptr[1:]] - cs[a.indptr[:-1]])[row_order]
+    psum_len = c_row_nnz[row_order]
+    live = psum_len > 0
+    window_tasks = np.stack(
+        [row_mults[live], psum_len[live], row_traffic[live],
+         row_fills[live]], axis=1
+    ).astype(np.int64) if live.any() else np.zeros((0, 4), np.int64)
     report = TrafficReport(
         a_mem=MemStats(read_count=int(out[0])),
         b_mem=MemStats(read_count=int(out[1])),
@@ -580,6 +593,8 @@ def _simulate_native(a: CsrMatrix, b: CsrMatrix, config: SpadaConfig,
         b_touched_words=int(out[7]), b_distinct_words=int(out[8]),
         c_touched_words=int(out[9]), c_final_words=int(out[12]),
         word_byte=config.word_byte,
+        window_tasks=window_tasks,
+        merge_tasks=np.zeros((0, 3), np.int64),  # full-K: no merge rounds
     )
     c = CsrMatrix(
         c_sp.shape, c_sp.indptr.astype(np.int64), c_sp.indices,

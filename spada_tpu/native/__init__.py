@@ -87,6 +87,7 @@ def load() -> Optional[ctypes.CDLL]:
             ctypes.c_int64, ctypes.POINTER(ctypes.c_int64), ctypes.c_int64,
             ctypes.POINTER(ctypes.c_int64), ctypes.c_int64,
             ctypes.POINTER(ctypes.c_int64), ctypes.POINTER(ctypes.c_int64),
+            ctypes.POINTER(ctypes.c_int64), ctypes.POINTER(ctypes.c_int64),
         ]
         _lib = lib
         return _lib
@@ -116,7 +117,12 @@ def mtx_parse_body(body: bytes, nnz: int, pattern: bool):
 
 def traffic_simulate(a_indptr, a_indices, b_row_lens, row_order,
                      capacity_words: int, row_psum_nnz):
-    """Native fiber-cache walk; returns the 15-counter array or None."""
+    """Native fiber-cache walk.
+
+    Returns (counters[15], row_traffic_words, row_fills) or None — the
+    per-row arrays are the full-K window task components for the latency
+    accumulation (models/traffic.py windowed_cycles).
+    """
     lib = load()
     if lib is None:
         return None
@@ -126,13 +132,17 @@ def traffic_simulate(a_indptr, a_indices, b_row_lens, row_order,
     row_order = np.ascontiguousarray(row_order, dtype=np.int64)
     row_psum_nnz = np.ascontiguousarray(row_psum_nnz, dtype=np.int64)
     out = np.zeros(15, dtype=np.int64)
+    n_rows = len(a_indptr) - 1
+    row_traffic = np.zeros(n_rows, dtype=np.int64)
+    row_fills = np.zeros(n_rows, dtype=np.int64)
     rc = lib.traffic_simulate(
         _ptr(a_indptr, ctypes.c_int64), _ptr(a_indices, ctypes.c_int32),
-        len(a_indptr) - 1, _ptr(b_row_lens, ctypes.c_int64), len(b_row_lens),
+        n_rows, _ptr(b_row_lens, ctypes.c_int64), len(b_row_lens),
         _ptr(row_order, ctypes.c_int64), capacity_words,
         _ptr(row_psum_nnz, ctypes.c_int64), _ptr(out, ctypes.c_int64),
+        _ptr(row_traffic, ctypes.c_int64), _ptr(row_fills, ctypes.c_int64),
     )
-    return out if rc == 0 else None
+    return (out, row_traffic, row_fills) if rc == 0 else None
 
 
 def plan_tile_cache(tile_ids, n_slots: int, depth: int):

@@ -105,11 +105,17 @@ struct HeapEnt {
     }
 };
 
+// Per-row (= per full-K window) task components for the latency
+// accumulation (models/traffic.py windowed_cycles): row_traffic = DRAM
+// words moved by the window (A read + B fills + evict write-backs, the
+// final swapout excluded to match the Python model's snapshot span) and
+// row_fills = B fill events.  Null pointers skip the collection.
 int traffic_simulate(const int64_t* a_indptr, const int32_t* a_indices,
                      int64_t a_rows, const int64_t* b_row_lens,
                      int64_t b_rows, const int64_t* row_order,
                      int64_t capacity_words, const int64_t* row_psum_nnz,
-                     int64_t* out) {
+                     int64_t* out, int64_t* row_traffic,
+                     int64_t* row_fills) {
     for (int i = 0; i < 15; ++i) out[i] = 0;
     int64_t& a_read = out[0];
     int64_t& b_read = out[1];
@@ -192,7 +198,11 @@ int traffic_simulate(const int64_t* a_indptr, const int32_t* a_indices,
     for (int64_t i = 0; i < a_rows; ++i) {
         int64_t r = row_order[i];
         int64_t s = a_indptr[r], e = a_indptr[r + 1];
+        if (row_traffic) { row_traffic[i] = 0; }
+        if (row_fills) { row_fills[i] = 0; }
         if (e == s) continue;
+        const int64_t dram0 = a_read + b_read + psum_write;
+        const int64_t fills0 = fills;
         a_read += 2 * (e - s);
         for (int64_t j = s; j < e; ++j) {
             int64_t k = (int64_t)a_indices[j];
@@ -220,6 +230,11 @@ int traffic_simulate(const int64_t* a_indptr, const int32_t* a_indices,
             cache_write += pw;
             int64_t addr = output_base + psum_uid++;
             insert(addr, pw, addr);  // fresh psum prio = its own address
+            // window task snapshot: after the psum insert's evictions,
+            // before the swapout write (matches the Python model)
+            if (row_traffic)
+                row_traffic[i] = (a_read + b_read + psum_write) - dram0;
+            if (row_fills) row_fills[i] = fills - fills0;
             // finished row: swap out to DRAM immediately
             auto it = resident.find(addr);
             if (it != resident.end()) {

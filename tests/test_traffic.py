@@ -154,6 +154,12 @@ def test_native_matches_python():
         nat = simulate_traffic(a, b, cfg, compute_values=False,
                                backend="native").report
         assert nat.as_dict() == py.as_dict(), f"cache={cache}"
+        # per-row (full-K window) task components and the windowed
+        # latency accumulation must agree too
+        assert np.array_equal(nat.window_tasks, py.window_tasks), \
+            f"cache={cache}"
+        assert (nat.windowed_cycles(cfg) == py.windowed_cycles(cfg)), \
+            f"cache={cache}"
 
 
 def test_native_matches_python_with_row_order():

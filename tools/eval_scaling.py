@@ -90,30 +90,58 @@ def main():
     lines = [
         "# Weak-scaling evaluation (halo vs psum-merge)",
         "",
-        f"Workload: banded n=8192·D, band={band}, T={tm}; per-device work "
-        "constant.  Virtual-mesh runs validate the full sharded program; "
-        "efficiency is the closed-form v5e ICI projection "
-        "(spada_tpu/parallel/scaling.py — busiest-shard roofline + planned "
-        "comm bytes, halo overlapped with the local-B segment).  Target: "
-        ">=80 % at >=2 devices (BASELINE.md).",
+        "**What is measured vs modeled (read this first).** Multi-chip "
+        "hardware does not exist in this environment (one tunneled v5e "
+        "chip). Two different things are reported here and they must not "
+        "be conflated:",
         "",
-        "| D | n | halo eff | halo comm (hidden) ms | reduce eff | "
-        "reduce comm ms | imbalance h/r |",
+        "1. **Measured-virtual**: the full sharded programs (`spgemm_halo`,",
+        "   `spgemm_sharded`) execute on an N-virtual-device CPU mesh — "
+        "real",
+        "   `shard_map` + `ppermute`/`psum` collectives, every product "
+        "verified",
+        "   against scipy where feasible. This validates *correctness and "
+        "program",
+        "   structure*, not wall-clock.",
+        "2. **Modeled-ICI projection**: the efficiency columns below are "
+        "the",
+        "   closed-form v5e ICI roofline (`spada_tpu/parallel/scaling.py` —",
+        "   busiest-shard compute + planned comm bytes at 45 GB/s/link, "
+        "halo",
+        "   transfers overlapped with the local-B segment). They are a "
+        "*projection*,",
+        "   not a measurement; no ICI byte has actually moved. In "
+        "particular a",
+        "   \"100%\" halo row means the modeled comm time hides entirely "
+        "under the",
+        "   modeled local compute — a statement about the plan's byte "
+        "counts, not an",
+        "   observed efficiency.",
+        "",
+        f"Workload: banded n=8192·D, band={band}, T={tm}; per-device work "
+        "constant.  Target: >=80 % at >=2 devices (BASELINE.md).",
+        "",
+        "| D | n | halo eff (modeled) | halo comm (hidden) ms, modeled | "
+        "reduce eff (modeled) | reduce comm ms, modeled | "
+        "imbalance h/r (measured plan) |",
         "|---|---|---|---|---|---|---|",
     ]
     for D, n, h, th, r, tr in rows:
         lines.append(
-            f"| {D} | {n} | **{h.efficiency:.1%}** | "
+            f"| {D} | {n} | {h.efficiency:.1%} | "
             f"{h.comm_s*1e3:.2f} ({h.overlap_s*1e3:.2f}) | "
             f"{r.efficiency:.1%} | {r.comm_s*1e3:.2f} | "
             f"{h.imbalance:.2f} / {r.imbalance:.2f} |")
     lines.append("")
     ok = all(h.efficiency >= 0.8 for D, _, h, _, _, _ in rows if D >= 2)
     lines.append(
-        f"Halo weak-scaling efficiency at D>=2: "
-        f"{'**meets** the >=80 % target' if ok else 'below the 80 % target'}"
-        " under the ICI projection; every virtual-mesh product was "
-        "verified against scipy where feasible."
+        f"Halo weak-scaling efficiency at D>=2 "
+        f"{'**meets** the >=80 % target' if ok else 'is below the 80 % target'}"
+        " *under the ICI projection*; the reduce strategy's modeled "
+        "efficiency is why `choose_parallel_strategy` (demonstrated in "
+        "`dryrun_multichip`'s output) picks halo for this workload shape. "
+        "The imbalance columns come from the actual partition plans "
+        "(measured tile counts per shard, not modeled)."
     )
     out = os.path.join(os.path.dirname(os.path.dirname(
         os.path.abspath(__file__))), "EVAL_SCALING.md")
