@@ -72,6 +72,10 @@ class SpadaConfig:
     #  lifted to the density axis)
     element_cap: int = 512
     element_dispatch: str = "auto"
+    # plan-time layout densification inside spgemm() (C-invariant subset:
+    # k-grid anchor + k permutation; row permutations need the caller to
+    # carry an inverse, so they only apply via preprocess_densified/CLI)
+    densify: str = "auto"                # 'auto' | 'off'
 
     # measured per-work-item kernel overhead by tile edge (v5e, cached
     # engine) — the planner's tile-size cost model input

@@ -205,6 +205,15 @@ def spgemm(
             tm = {"ip": 128}.get(dataflow, config.default_tm)
 
     order = "k" if dataflow == "op" else "row"
+    if dataflow == "spada" and config.densify == "auto":
+        # C-invariant layout densification (k-anchor / k-perm only:
+        # C = (A Q)(Q^T B) exactly, so no extraction fixup exists to carry)
+        from spada_tpu.plan.densify import apply_densify, choose_densify
+
+        dplan = choose_densify(a, b, tm, config.tile_k, config.tile_n,
+                               config, allow_row_perm=False)
+        if not dplan.is_identity:
+            a, b = apply_densify(a, b, dplan)
     if dtype is np.float32 and config.engine_dtype == "bfloat16":
         import jax.numpy as jnp
 
@@ -335,6 +344,16 @@ def measure_device_perf(a: CsrMatrix, b: CsrMatrix,
             if dataflow == "rowwise":
                 tm_ = _multirow_tm(config)
         order = "k" if dataflow == "op" else "row"
+        if dataflow == "spada" and config.densify == "auto":
+            # mirror spgemm()'s C-invariant densification so the timing
+            # measures the layout that actually ran
+            from spada_tpu.plan.densify import (apply_densify,
+                                                choose_densify)
+
+            dplan = choose_densify(a, b, tm_, config.tile_k, config.tile_n,
+                                   config, allow_row_perm=False)
+            if not dplan.is_identity:
+                a, b = apply_densify(a, b, dplan)
         a_bsr = BsrMatrix.from_csr(a, tm_, config.tile_k, dtype=dtype)
         b_bsr = BsrMatrix.from_csr(b, config.tile_k, config.tile_n,
                                    dtype=dtype)

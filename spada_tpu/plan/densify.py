@@ -119,12 +119,16 @@ def degree_perm(weight: np.ndarray) -> np.ndarray:
 
 def choose_densify(a: CsrMatrix, b: CsrMatrix, tm: int, tk: int, tn: int,
                    config: Optional[SpadaConfig] = None,
-                   anchors: Optional[Tuple[int, ...]] = None) -> DensifyPlan:
+                   anchors: Optional[Tuple[int, ...]] = None,
+                   allow_row_perm: bool = True) -> DensifyPlan:
     """Score layout candidates and return the cheapest (identity included).
 
     Candidates: k-anchor scan (identity order), degree-clustered k, degree-
     clustered k + rows.  The anchor scan only applies to the identity
     order — a permuted axis has no grid alignment to recover.
+    ``allow_row_perm=False`` restricts to transforms that leave C
+    bit-identical (k-anchor, k-perm: C = (A Q)(Q^T B)), for callers that
+    cannot carry an extraction-time row inverse.
     """
     config = config or SpadaConfig()
     if anchors is None:
@@ -148,12 +152,14 @@ def choose_densify(a: CsrMatrix, b: CsrMatrix, tm: int, tk: int, tn: int,
         k_perm=kp, candidate="ksort",
         modeled={"n_a_tiles": nA, "n_b_tiles": nB, "w": W, "t_est": t})))
 
-    rp = degree_perm(np.diff(a.indptr).astype(np.int64))
-    nA, nB, W = _tile_stats(a, b, tm, tk, tn, k_perm=kp, row_perm=rp)
-    t = _modeled_time(nA, nB, W, tm, tk, tn, config, itemsize)
-    cands.append((t, "ksort+rowsort", DensifyPlan(
-        k_perm=kp, row_perm=rp, candidate="ksort+rowsort",
-        modeled={"n_a_tiles": nA, "n_b_tiles": nB, "w": W, "t_est": t})))
+    if allow_row_perm:
+        rp = degree_perm(np.diff(a.indptr).astype(np.int64))
+        nA, nB, W = _tile_stats(a, b, tm, tk, tn, k_perm=kp, row_perm=rp)
+        t = _modeled_time(nA, nB, W, tm, tk, tn, config, itemsize)
+        cands.append((t, "ksort+rowsort", DensifyPlan(
+            k_perm=kp, row_perm=rp, candidate="ksort+rowsort",
+            modeled={"n_a_tiles": nA, "n_b_tiles": nB, "w": W,
+                     "t_est": t})))
 
     cands.sort(key=lambda c: c[0])
     best = cands[0][2]

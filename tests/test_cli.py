@@ -105,3 +105,30 @@ def test_op_dataflow_colwise_plan_cli(capsys):
     rc, out = _run(["run", "op", "SS", "cari", "--no-result"], capsys)
     assert rc == 0
     assert "colwise plan" in out
+
+
+def test_run_mode_densify_prints_decision(tmp_path, capsys):
+    """--densify auto (default) prints the layout decision; a scattered
+    pickled GEMM under element_dispatch=never exercises the tile path."""
+    import json
+
+    from spada_tpu.io.workloads import rmat_csr
+
+    a = rmat_csr(256, 6.0, seed=80, dtype=np.float64).to_scipy()
+    pkl = tmp_path / "nn.pkl"
+    with open(pkl, "wb") as f:
+        pickle.dump({"g": (a, a)}, f)
+    cfg = tmp_path / "cfg.json"
+    cfg.write_text(json.dumps({
+        "nn_filepath": str(pkl), "element_dispatch": "never",
+        "tile_k": 128, "tile_n": 128,
+    }))
+    rc, out = _run(["run", "spada", "NN", "g", str(cfg), "--no-result"],
+                   capsys)
+    assert rc == 0
+    assert "densify:" in out
+
+    rc2, out2 = _run(["run", "spada", "NN", "g", str(cfg), "--no-result",
+                      "--densify", "off"], capsys)
+    assert rc2 == 0
+    assert "densify:" not in out2

@@ -105,3 +105,25 @@ def test_densified_workload_composes_with_sorted_preprocess():
         .from_scipy((w2.a.to_scipy() @ w2.b.to_scipy()).tocsr()))
     ref = np.asarray((a.to_scipy() @ a.to_scipy()).todense())
     np.testing.assert_allclose(got.todense(), ref, rtol=1e-5, atol=1e-5)
+
+
+def test_spgemm_auto_densify_is_c_invariant():
+    """spgemm() applies the C-invariant densify subset automatically
+    (config.densify='auto', the default): the result must equal scipy in
+    the ORIGINAL row/column order with no caller-side inverse."""
+    from spada_tpu.ops.spgemm import spgemm
+
+    a = rmat_csr(1024, 8.0, seed=7, dtype=np.float32)
+    b = rmat_csr(1024, 8.0, seed=8, dtype=np.float32)
+    cfg = SpadaConfig(tile_k=128, tile_n=128, default_tm=128,
+                      element_dispatch="never")
+    res = spgemm(a, b, cfg, dataflow="spada")
+    ref = np.asarray((a.to_scipy() @ b.to_scipy()).todense())
+    np.testing.assert_allclose(res.todense(), ref, rtol=1e-4, atol=1e-3)
+
+    cfg_off = SpadaConfig(tile_k=128, tile_n=128, default_tm=128,
+                          element_dispatch="never", densify="off")
+    res_off = spgemm(a, b, cfg_off, dataflow="spada")
+    np.testing.assert_allclose(res_off.todense(), ref, rtol=1e-4, atol=1e-3)
+    # the densified run must not have issued more work
+    assert res.n_work_items <= res_off.n_work_items
