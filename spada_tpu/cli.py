@@ -134,7 +134,10 @@ def cmd_run(args, config: SpadaConfig, w: GemmWorkload) -> int:
 
         t_best, t_det = choose_tile_size(w.a, w.b, config)
         if getattr(args, "densify", "off") == "auto":
-            w2, dplan = w.preprocess_densified(config, tk=t_best, tn=t_best)
+            # score candidates at the tile size the run will actually use
+            # (tm too: the cost model's work-item counts depend on it)
+            w2, dplan = w.preprocess_densified(config, tm=t_best, tk=t_best,
+                                               tn=t_best)
             if not dplan.is_identity:
                 print(f"densify: {dplan.candidate}  "
                       f"(W {dplan.modeled['all']} modeled-ms per layout; "

@@ -302,7 +302,16 @@ def _esc_execute_jit(out_dtype=None):
     return run
 
 
-_esc_run = None
+_esc_runs: dict = {}           # out_dtype name -> jitted runner
+
+
+def _esc_runner(out_dtype=None):
+    """Cached jitted runner per output dtype (a bare module-global cache
+    would silently ignore a different out_dtype on later calls)."""
+    key = str(out_dtype)
+    if key not in _esc_runs:
+        _esc_runs[key] = _esc_execute_jit(out_dtype)
+    return _esc_runs[key]
 
 
 def esc_transfer(operands):
@@ -312,15 +321,12 @@ def esc_transfer(operands):
     return tuple((jnp.asarray(av), jnp.asarray(bv)) for av, bv in operands)
 
 
-def esc_execute(operands):
+def esc_execute(operands, out_dtype=None):
     """Device numeric phase: products + fixed-width merges, zero indexed ops.
 
     Returns the merged chunk values in esc order (device array).
     """
-    global _esc_run
-    if _esc_run is None:
-        _esc_run = _esc_execute_jit()
-    return _esc_run(esc_transfer(operands))
+    return _esc_runner(out_dtype)(esc_transfer(operands))
 
 
 @dataclasses.dataclass
@@ -372,24 +378,37 @@ class EscSlabbedResult:
     def nnz_c(self) -> int:
         return sum(p.plan.nnz_c for p in self.parts)
 
+    @property
+    def n_chunks(self) -> int:
+        return sum(len(p.plan.esc_to_csr) for p in self.parts)
+
     def operand_bytes(self, itemsize: int = 4, out_itemsize: int = 4) -> int:
         return sum(p.plan.operand_bytes(itemsize, out_itemsize)
                    for p in self.parts)
 
     def to_csr(self) -> CsrMatrix:
-        csrs = [p.to_csr() for p in self.parts]
-        indptr = np.concatenate(
-            [[0]] + [c.indptr[1:] + off for c, off in
-                     zip(csrs, np.cumsum([0] + [c.nnz for c in csrs])[:-1])]
-        ).astype(np.int64)
-        return CsrMatrix(
-            self.shape, indptr,
-            np.concatenate([c.indices for c in csrs]) if csrs else [],
-            np.concatenate([c.data for c in csrs]) if csrs else [],
-        )
+        return concat_row_slabs(self.shape,
+                                [p.to_csr() for p in self.parts])
 
     def todense(self) -> np.ndarray:
         return self.to_csr().todense()
+
+
+def concat_row_slabs(shape, csrs) -> CsrMatrix:
+    """Stack row-slab CSRs vertically into one matrix (exact: slabs
+    partition the row space).  Shared by the slab-streamed and distributed
+    element results."""
+    if not csrs:
+        return CsrMatrix(shape, np.zeros(shape[0] + 1, np.int64), [], [])
+    offs = np.cumsum([0] + [c.nnz for c in csrs])[:-1]
+    indptr = np.concatenate(
+        [[0]] + [c.indptr[1:] + off for c, off in zip(csrs, offs)]
+    ).astype(np.int64)
+    return CsrMatrix(
+        shape, indptr,
+        np.concatenate([c.indices for c in csrs]),
+        np.concatenate([c.data for c in csrs]),
+    )
 
 
 def _slice_rows(m: CsrMatrix, s: int, t: int) -> CsrMatrix:
@@ -401,19 +420,21 @@ def _slice_rows(m: CsrMatrix, s: int, t: int) -> CsrMatrix:
 def _row_slab_bounds(a: CsrMatrix, b: CsrMatrix, max_products: int):
     """Row boundaries such that each slab's expansion <= max_products
     (a single row over the limit gets its own slab — its plan must still
-    fit the 2^31 range or the planner raises loudly)."""
+    fit the 2^31 range or the planner raises loudly).  Vectorized: repeated
+    searchsorted on the cumulative expansion instead of a per-row Python
+    loop (the path only triggers for huge matrices)."""
     blen = np.diff(b.indptr).astype(np.int64)
     fan = blen[a.indices]
     cs = np.concatenate([[0], np.cumsum(fan)])
-    row_e = cs[a.indptr[1:]] - cs[a.indptr[:-1]]
+    row_e_cum = cs[a.indptr]          # [m+1] cumulative E at row starts
     bounds = [0]
-    acc = 0
-    for r, e in enumerate(row_e):
-        if acc + e > max_products and r > bounds[-1]:
-            bounds.append(r)
-            acc = 0
-        acc += int(e)
-    bounds.append(a.shape[0])
+    m = a.shape[0]
+    while bounds[-1] < m:
+        start = bounds[-1]
+        # furthest row end whose slab expansion stays under the budget
+        r = int(np.searchsorted(row_e_cum, row_e_cum[start] + max_products,
+                                side="right")) - 1
+        bounds.append(max(min(r, m), start + 1))
     return bounds
 
 
@@ -427,7 +448,6 @@ def spgemm_element(a: CsrMatrix, b: CsrMatrix, cap: int = 512,
     ``max_slab_products`` (default 2^28 ≈ 2.1 GB of f32 operands) stream
     through row slabs and return an :class:`EscSlabbedResult`.
     """
-    global _esc_run
     if (plan is None and a.shape[0] > 1
             and expansion_products(a, b) > max_slab_products):
         bounds = _row_slab_bounds(a, b, max_slab_products)
@@ -442,13 +462,12 @@ def spgemm_element(a: CsrMatrix, b: CsrMatrix, cap: int = 512,
         return EscSlabbedResult((a.shape[0], b.shape[1]), parts, elapsed)
     plan = plan or build_esc_plan(a, b, cap=cap)
     ops = esc_transfer(esc_operands(plan, a, b, dtype=dtype))
-    if _esc_run is None:
-        _esc_run = _esc_execute_jit()
+    run = _esc_runner()
     import jax
 
-    jax.block_until_ready(_esc_run(ops))  # compile + warm
+    jax.block_until_ready(run(ops))  # compile + warm
     t0 = time.perf_counter()
-    vals = _esc_run(ops)
+    vals = run(ops)
     # fence without launching a new XLA computation (a jnp slice here would
     # cold-compile inside the timed region — ~60s over the axon tunnel)
     jax.block_until_ready(vals)

@@ -137,7 +137,8 @@ def _spgemm_via_element(a: CsrMatrix, b: CsrMatrix,
     n_padded = (er.plan.n_padded if hasattr(er, "plan") else er.n_padded)
     n_products = (er.plan.n_products if hasattr(er, "plan")
                   else er.n_products)
-    n_chunks = (len(er.plan.esc_to_csr) if hasattr(er, "plan") else er.nnz_c)
+    n_chunks = (len(er.plan.esc_to_csr) if hasattr(er, "plan")
+                else er.n_chunks)
     return SpGemmResult(
         shape=(a.shape[0], b.shape[1]), tm=1, tn=1,
         c_tiles=np.zeros((0, 1, 1), np.float32),
@@ -232,9 +233,7 @@ def spgemm(
             useful_flops=0, mxu_flops=0,
         )
 
-    engine = None if config.engine == "auto" else config.engine
-    if config.use_pallas:
-        engine = "pallas_grid"
+    engine = _resolve_engine(config)
 
     t0 = time.perf_counter()
     c_tiles = run_worklist(
@@ -281,8 +280,14 @@ def measure_device_perf(a: CsrMatrix, b: CsrMatrix,
 
     if dataflow == "element":
         from spada_tpu.ops.element import (_esc_execute_jit, build_esc_plan,
-                                           esc_operands, esc_transfer)
+                                           esc_operands, esc_transfer,
+                                           expansion_products)
 
+        if a.shape[0] > 1 and expansion_products(a, b) > 2**28:
+            # spgemm ran the row-slab streaming path; a single whole-matrix
+            # plan here would allocate the very host/device memory the slab
+            # path exists to avoid — fall back to wall-clock reporting
+            return None
         eplan = build_esc_plan(a, b, cap=config.element_cap)
         ops = esc_transfer(esc_operands(eplan, a, b))
         run = _esc_execute_jit()
@@ -312,27 +317,20 @@ def measure_device_perf(a: CsrMatrix, b: CsrMatrix,
     # launches in one fenced loop (tiles passed as jit args — closures over
     # big arrays become compile-request constants on this runtime)
     from spada_tpu.ops.worklist import build_worklist
-    from spada_tpu.plan.planner import _slice_rows_padded
 
     dtype = np.float32
     if config.engine_dtype == "bfloat16":
         dtype = jnp.bfloat16
-    engine = None if config.engine == "auto" else config.engine
+    engine = _resolve_engine(config)
 
     segments = []  # (wl, a_tiles, b_tiles, tm)
     if dataflow == "spada" and plan is not None:
+        from spada_tpu.plan.planner import iter_plan_segments
+
         b_bsr = BsrMatrix.from_csr(b, plan.tile_k, plan.tile_n, dtype=dtype)
-        by_tm = {}
-        for p in plan.panels:
-            by_tm.setdefault(p.tm, []).append(p)
-        for tm_, panels in sorted(by_tm.items()):
-            sub, _ = _slice_rows_padded(a, panels, tm_)
-            if sub.nnz == 0:
-                continue
-            a_bsr = BsrMatrix.from_csr(sub, tm_, plan.tile_k, dtype=dtype)
-            wl = build_worklist(a_bsr, b_bsr, order="row")
-            if wl.n_items:
-                segments.append((wl, a_bsr.tiles, b_bsr.tiles, tm_))
+        for tm_, _, _, a_bsr, wl in iter_plan_segments(a, b_bsr, plan,
+                                                       dtype):
+            segments.append((wl, a_bsr.tiles, b_bsr.tiles, tm_))
         tk, tn = plan.tile_k, plan.tile_n
     else:
         if dataflow == "op":
@@ -396,6 +394,14 @@ def measure_device_perf(a: CsrMatrix, b: CsrMatrix,
         "mxu_util_pct": 100.0 * mxu_flops / el / _peak_flops(config, dtype),
         "flops_per_s": mxu_flops / el,
     }
+
+
+def _resolve_engine(config: SpadaConfig) -> Optional[str]:
+    """The engine override :func:`spgemm`/``execute_plan`` resolve — shared
+    so timing paths can never measure a different kernel than the run."""
+    if config.use_pallas:
+        return "pallas_grid"
+    return None if config.engine == "auto" else config.engine
 
 
 def _peak_flops(config: SpadaConfig, dtype) -> float:

@@ -63,13 +63,16 @@ def partition_element(a: CsrMatrix, b: CsrMatrix, n_dev: int,
     cs = np.concatenate([[0], np.cumsum(fan)])
     row_e = cs[a.indptr[1:]] - cs[a.indptr[:-1]]
     total = int(row_e.sum())
-    # greedy balanced split: cut where cumulative E passes k/n_dev of total
+    # greedy balanced split: cut where cumulative E passes k/n_dev of total;
+    # matrices with fewer rows than devices leave trailing shards empty
+    # (bounds may repeat — a zero-row slab plans to an empty bucket set)
     cum = np.cumsum(row_e)
+    m = a.shape[0]
     bounds = [0]
     for k in range(1, n_dev):
         r = int(np.searchsorted(cum, total * k / n_dev))
-        bounds.append(max(min(r, a.shape[0] - (n_dev - k)), bounds[-1] + 1))
-    bounds.append(a.shape[0])
+        bounds.append(min(max(r, bounds[-1] + 1), m))
+    bounds.append(m)
 
     from spada_tpu.ops.element import _slice_rows
 
@@ -129,23 +132,17 @@ class ElementDpResult:
             np.add.at(data, plan.esc_to_csr, vals.astype(np.float64))
             csrs.append(CsrMatrix(plan.shape, plan.indptr, plan.indices,
                                   data.astype(np.float32)))
-        indptr = np.concatenate(
-            [[0]] + [c.indptr[1:] + off for c, off in
-                     zip(csrs, np.cumsum([0] + [c.nnz for c in csrs])[:-1])]
-        ).astype(np.int64)
-        return CsrMatrix(
-            p.shape, indptr,
-            np.concatenate([c.indices for c in csrs]),
-            np.concatenate([c.data for c in csrs]),
-        )
+        from spada_tpu.ops.element import concat_row_slabs
+
+        return concat_row_slabs(p.shape, csrs)
 
     def todense(self) -> np.ndarray:
         return self.to_csr().todense()
 
 
-def spgemm_element_dp(problem: ElementDpProblem,
-                      mesh=None) -> ElementDpResult:
-    """One communication-free shard_map launch over ('dp',)."""
+def build_dp_program(problem: ElementDpProblem, mesh=None):
+    """(shard_mapped fn, device operand list) — exposed so tests can assert
+    the jaxpr of the REAL program contains no collectives."""
     import jax
     import jax.numpy as jnp
     from jax.experimental.shard_map import shard_map
@@ -176,5 +173,14 @@ def spgemm_element_dp(problem: ElementDpProblem,
         in_specs=tuple(P("dp") for _ in flat),
         out_specs=tuple(P("dp") for _ in range(n_classes)),
     )
+    return fn, flat
+
+
+def spgemm_element_dp(problem: ElementDpProblem,
+                      mesh=None) -> ElementDpResult:
+    """One communication-free shard_map launch over ('dp',)."""
+    import jax
+
+    fn, flat = build_dp_program(problem, mesh)
     vals = jax.jit(fn)(*flat)
     return ElementDpResult(problem, [np.asarray(v) for v in vals])

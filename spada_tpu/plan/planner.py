@@ -265,35 +265,17 @@ def _slice_rows_padded(a: CsrMatrix, panels: List[PanelSpec], tm: int):
     return sub, np.asarray(bases, dtype=np.int64)
 
 
-def execute_plan(
-    a: CsrMatrix, b: CsrMatrix, plan: ExecutionPlan, config: Optional[SpadaConfig] = None
-) -> PlanResult:
-    from spada_tpu.ops.engine import run_worklist
-    from spada_tpu.ops.spgemm import _count_useful_flops
+def iter_plan_segments(a: CsrMatrix, b_bsr: BsrMatrix, plan: ExecutionPlan,
+                       dtype):
+    """Yield (tm, panels, bases, a_bsr, worklist) per panel-height group —
+    the single source of the plan's launch decomposition, shared by
+    :func:`execute_plan` and the device-timing mirror
+    (ops.spgemm.measure_device_perf) so they can never drift apart."""
     from spada_tpu.ops.worklist import build_worklist
-
-    config = config or SpadaConfig()
-    engine = None if config.engine == "auto" else config.engine
-    if config.use_pallas:
-        engine = "pallas_grid"
-    dtype = np.float32
-    if config.engine_dtype == "bfloat16":
-        import jax.numpy as jnp
-
-        dtype = jnp.bfloat16
-
-    b_bsr = BsrMatrix.from_csr(b, plan.tile_k, plan.tile_n, dtype=dtype)
 
     by_tm = {}
     for p in plan.panels:
         by_tm.setdefault(p.tm, []).append(p)
-
-    from spada_tpu.utils import trace
-
-    segments = []
-    n_work = 0
-    mxu = 0
-    t0 = time.perf_counter()
     for tm, panels in sorted(by_tm.items()):
         sub, bases = _slice_rows_padded(a, panels, tm)
         if sub.nnz == 0:
@@ -302,6 +284,36 @@ def execute_plan(
         wl = build_worklist(a_bsr, b_bsr, order="row")
         if wl.n_items == 0:
             continue
+        yield tm, panels, bases, a_bsr, wl
+
+
+def execute_plan(
+    a: CsrMatrix, b: CsrMatrix, plan: ExecutionPlan, config: Optional[SpadaConfig] = None
+) -> PlanResult:
+    from spada_tpu.ops.engine import run_worklist
+    from spada_tpu.ops.spgemm import _count_useful_flops
+
+    config = config or SpadaConfig()
+    from spada_tpu.ops.spgemm import _resolve_engine
+
+    engine = _resolve_engine(config)
+    dtype = np.float32
+    if config.engine_dtype == "bfloat16":
+        import jax.numpy as jnp
+
+        dtype = jnp.bfloat16
+
+    b_bsr = BsrMatrix.from_csr(b, plan.tile_k, plan.tile_n, dtype=dtype)
+
+    from spada_tpu.utils import trace
+
+    segments = []
+    n_work = 0
+    mxu = 0
+    t0 = time.perf_counter()
+    for tm, panels, bases, a_bsr, wl in iter_plan_segments(
+        a, b_bsr, plan, dtype
+    ):
         t_seg = time.perf_counter()
         c_tiles = run_worklist(
             wl, a_bsr.tiles, b_bsr.tiles, precision=config.precision,
@@ -316,7 +328,7 @@ def execute_plan(
         from spada_tpu.ops.spgemm import SpGemmResult
 
         res = SpGemmResult(
-            shape=(sub.shape[0], b.shape[1]), tm=tm, tn=plan.tile_n,
+            shape=(a_bsr.shape[0], b.shape[1]), tm=tm, tn=plan.tile_n,
             c_tiles=np.asarray(c_tiles), c_tile_row=wl.c_tile_row,
             c_tile_col=wl.c_tile_col, tk=plan.tile_k,
             tile_itemsize=int(np.dtype(dtype).itemsize),

@@ -202,3 +202,24 @@ def test_esc_plan_range_guard():
                   np.array([0]), np.array([1.0]), check=False)
     with pytest.raises(ValueError, match="slab"):
         _build_esc_plan_numpy(a, b, cap=512)
+
+
+def test_esc_execute_out_dtype_cached_separately():
+    """The runner cache keys on out_dtype; narrow output matches f32 within
+    bf16 rounding (the knob is available even though the bench streams f32 —
+    bf16 writeback measured slower, BENCH_NOTES)."""
+    import jax.numpy as jnp
+
+    from spada_tpu.ops.element import (build_esc_plan, esc_execute,
+                                       esc_operands)
+
+    a = powerlaw_csr(256, 256, 6.0, seed=56, dtype=np.float32)
+    b = powerlaw_csr(256, 256, 6.0, seed=57, dtype=np.float32)
+    plan = build_esc_plan(a, b)
+    ops = esc_operands(plan, a, b)
+    v32 = np.asarray(esc_execute(ops))
+    v16 = np.asarray(esc_execute(ops, out_dtype=jnp.bfloat16))
+    assert v32.dtype == np.float32
+    assert str(v16.dtype) == "bfloat16"
+    denom = max(np.abs(v32).max(), 1e-30)
+    assert np.max(np.abs(v16.astype(np.float32) - v32)) / denom < 2e-2

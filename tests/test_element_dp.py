@@ -36,35 +36,26 @@ def test_element_dp_balances_by_expansion():
 
 def test_element_dp_program_has_no_collectives():
     """The dp decomposition is communication-free by construction: the
-    jaxpr of the shard_map body must contain no collective primitive."""
-    import jax.numpy as jnp
-    from jax.experimental.shard_map import shard_map
-    from jax.sharding import Mesh, PartitionSpec as P
+    jaxpr of the SHIPPED program (build_dp_program, the exact callable
+    spgemm_element_dp jits) must contain no collective primitive."""
+    from spada_tpu.parallel.element_dp import build_dp_program
 
     a = localized_powerlaw_csr(512, 512, 6.0, seed=64, dtype=np.float32)
     b = localized_powerlaw_csr(512, 512, 6.0, seed=65, dtype=np.float32)
     prob = partition_element(a, b, n_dev=8)
-
-    devs = jax.devices()[:8]
-    mesh = Mesh(np.array(devs), ("dp",))
-    n_classes = len(prob.classes)
-
-    def local(*flat):
-        outs = []
-        for i in range(n_classes):
-            av, bv = flat[2 * i][0], flat[2 * i + 1][0]
-            prod = (av * bv).astype(jnp.float32)
-            outs.append(prod.reshape(1, -1) if prod.shape[1] == 1
-                        else jnp.sum(prod, axis=1)[None])
-        return tuple(outs)
-
-    flat = []
-    for av, bv in zip(prob.a_stacked, prob.b_stacked):
-        flat += [jnp.asarray(av), jnp.asarray(bv)]
-    fn = shard_map(local, mesh=mesh,
-                   in_specs=tuple(P("dp") for _ in flat),
-                   out_specs=tuple(P("dp") for _ in range(n_classes)))
+    fn, flat = build_dp_program(prob)
     jaxpr = str(jax.make_jaxpr(fn)(*flat))
     for coll in ("psum", "all_gather", "all_to_all", "ppermute",
                  "reduce_scatter"):
         assert coll not in jaxpr, coll
+
+
+def test_element_dp_fewer_rows_than_devices():
+    """Degenerate shard counts must not crash: trailing shards go empty."""
+    a = localized_powerlaw_csr(4, 64, 3.0, seed=66, dtype=np.float32)
+    b = localized_powerlaw_csr(64, 64, 3.0, seed=67, dtype=np.float32)
+    prob = partition_element(a, b, n_dev=8)
+    assert prob.row_bounds[-1] == 4 and len(prob.row_bounds) == 9
+    res = spgemm_element_dp(prob)
+    np.testing.assert_allclose(res.todense(), _oracle(a, b),
+                               rtol=1e-4, atol=1e-4)
