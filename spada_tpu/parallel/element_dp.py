@@ -145,7 +145,7 @@ def build_dp_program(problem: ElementDpProblem, mesh=None):
     the jaxpr of the REAL program contains no collectives."""
     import jax
     import jax.numpy as jnp
-    from jax.experimental.shard_map import shard_map
+    from jax import shard_map
     from jax.sharding import Mesh, PartitionSpec as P
 
     if mesh is None:
