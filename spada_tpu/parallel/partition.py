@@ -210,10 +210,14 @@ def choose_parallel_strategy(
     config: Optional[SpadaConfig] = None,
     tm: Optional[int] = None,
 ):
-    """Pick 'reduce' (K-sharded psum-merge) vs 'halo' (B-tile all-to-all)
-    by modeled communication bytes — the reference's dataflow adaptivity
-    lifted to the distributed axis (SURVEY.md §2.3/§5.8).
+    """Pick the distributed strategy by modeled cost — the reference's
+    dataflow adaptivity lifted to the distributed axis (SURVEY.md
+    §2.3/§5.8).
 
+    - element_dp (dp = n_dev): scattered structure that the density
+      dispatch routes to the element engine distributes by E-balanced row
+      slabs with ZERO collectives (parallel/element_dp.py) — always the
+      winner when the element engine wins per-chip.
     - reduce, (dp = n_dev/2, tp = 2): every dp panel's C tiles ride one
       psum over tp; ring all-reduce moves ~2*(tp-1)/tp of the C-tile bytes.
     - halo (dp = n_dev): each remotely-needed B tile moves once.
@@ -223,6 +227,16 @@ def choose_parallel_strategy(
     from spada_tpu.parallel.halo import partition_halo
 
     config = config or SpadaConfig()
+    if config.element_dispatch == "auto":
+        from spada_tpu.ops.spgemm import dispatch_dataflow
+
+        choice, det = dispatch_dataflow(a, b, config)
+        if choice == "element":
+            return "element_dp", {
+                "halo_bytes": 0, "reduce_bytes": 0,
+                "element_e_products": det["element"]["e_products"],
+                "comm_bytes": 0,  # row slabs share nothing
+            }
     tm = tm or config.default_tm
     tk, tn = config.tile_k, config.tile_n
 

@@ -59,3 +59,16 @@ def test_element_dp_fewer_rows_than_devices():
     res = spgemm_element_dp(prob)
     np.testing.assert_allclose(res.todense(), _oracle(a, b),
                                rtol=1e-4, atol=1e-4)
+
+
+def test_strategy_chooser_routes_scattered_to_element_dp():
+    """choose_parallel_strategy picks the zero-collective element dp when
+    the density dispatch would run the element engine per chip."""
+    from spada_tpu.io.workloads import powerlaw_csr
+    from spada_tpu.parallel.partition import choose_parallel_strategy
+
+    a = powerlaw_csr(8192, 8192, 4.0, seed=70, dtype=np.float32)
+    b = powerlaw_csr(8192, 8192, 4.0, seed=71, dtype=np.float32)
+    strat, det = choose_parallel_strategy(a, b, 8)
+    assert strat == "element_dp"
+    assert det["comm_bytes"] == 0
