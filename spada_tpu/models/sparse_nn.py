@@ -21,7 +21,6 @@ standard data-parallel psum XLA inserts for the backward pass.
 from __future__ import annotations
 
 import dataclasses
-import functools
 from typing import List, Tuple
 
 import jax
@@ -166,44 +165,65 @@ def make_sharded_train_step(model: SparseMLP, mesh: Mesh, lr: float = 1e-3):
       collectives; dp-mean of the loss makes weight grads dp-averaged.
 
     Weights are passed (and updated) in tp-sharded layout
-    ``[n_tp, max_tiles, tm, tk]`` with per-shard specs baked in statically.
+    ``[n_tp, max_tiles, tm, tk]``.  Per-shard tile coordinates travel as
+    tp-sharded int32 DATA, not as per-branch constants under a
+    ``lax.switch`` on ``axis_index``: with branch-constant gather indices
+    the value is typed tp-invariant, so shard_map's VMA transpose inserts
+    the activation-cotangent ``psum`` on the *gathered slice* BEFORE each
+    shard's index-specific scatter — cross-contaminating shards and
+    silently corrupting every layer-(i) gradient that feeds a tp-split
+    layer (i+1) (caught by test_sharded_step_equals_single_device).
+    Index arrays entering through ``in_specs=P('tp')`` are varying-typed,
+    which lands the transpose psum on the full activation cotangent.
     """
     n_tp = mesh.shape["tp"]
 
     # --- host: round-robin tiles to tp shards, pad to equal count ---
-    shard_specs: List[List[SparseLinearSpec]] = []   # [layer][tp]
     shard_params: List[np.ndarray] = []              # [layer] -> [tp, Tmax, tm, tk]
+    shard_masks: List[np.ndarray] = []               # [layer] -> [tp, Tmax, 1, 1]
+    shard_trow: List[np.ndarray] = []                # [layer] -> [tp, Tmax]
+    shard_tcol: List[np.ndarray] = []
     for spec, tiles in zip(model.specs, model.params):
         n_tiles = tiles.shape[0]
         owner = np.arange(n_tiles) % n_tp
         per_tp = [np.nonzero(owner == t)[0] for t in range(n_tp)]
         tmax = max(1, max(len(ix) for ix in per_tp))
         buf = np.zeros((n_tp, tmax) + tiles.shape[1:], tiles.dtype)
-        specs_t = []
+        mask = np.zeros((n_tp, tmax, 1, 1), tiles.dtype)
+        trow = np.zeros((n_tp, tmax), np.int32)
+        tcol = np.zeros((n_tp, tmax), np.int32)
         for t, ix in enumerate(per_tp):
             buf[t, : len(ix)] = tiles[ix]
-            # padded slots point at tile-row 0 with zero payload (inert)
-            trow = np.zeros(tmax, np.int32)
-            tcol = np.zeros(tmax, np.int32)
-            trow[: len(ix)] = spec.tile_row[ix]
-            tcol[: len(ix)] = spec.tile_col[ix]
-            specs_t.append(dataclasses.replace(spec, tile_row=trow, tile_col=tcol))
-        shard_specs.append(specs_t)
+            mask[t, : len(ix)] = 1.0
+            # padded slots point at tile-row 0 with zero payload — inert in
+            # the FORWARD pass only: their loss gradient is nonzero
+            # (dL/dy[rows 0..tm] @ x[k-tile 0]^T), so the SGD update must
+            # mask it or step 2 onward adds spurious products into tile-row
+            # 0 (caught by test_sharded_padded_slots_stay_inert)
+            trow[t, : len(ix)] = spec.tile_row[ix]
+            tcol[t, : len(ix)] = spec.tile_col[ix]
         shard_params.append(buf)
+        shard_masks.append(mask)
+        shard_trow.append(trow)
+        shard_tcol.append(tcol)
 
-    def local_forward(params_tp, x, tp_index):
+    def local_spmm(tiles, trow, tcol, spec: SparseLinearSpec, x):
+        n = x.shape[1]
+        xt = x.reshape(spec.n_k_tiles, spec.tk, n)
+        parts = jax.lax.dot_general(
+            tiles, xt[tcol],
+            dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        )
+        y = jnp.zeros((spec.n_tile_rows, spec.tm, n), jnp.float32)
+        y = y.at[trow].add(parts)
+        return y.reshape(spec.n_tile_rows * spec.tm, n)
+
+    def local_forward(params_tp, trow_tp, tcol_tp, x):
         h = x
-        for i in range(len(model.specs)):
-            spec_list = shard_specs[i]
-            # static per-shard spec selection via switch on index constant
-            def apply_with(spec, tiles, h):
-                return spmm(tiles, spec, h)
-
-            parts = jax.lax.switch(
-                tp_index,
-                [functools.partial(apply_with, s) for s in spec_list],
-                params_tp[i][0], h,
-            )
+        for i, spec in enumerate(model.specs):
+            parts = local_spmm(
+                params_tp[i][0], trow_tp[i][0], tcol_tp[i][0], spec, h)
             h = jax.lax.psum(parts, "tp")
             if i + 1 < len(model.specs):
                 h = jax.nn.relu(h)
@@ -214,24 +234,39 @@ def make_sharded_train_step(model: SparseMLP, mesh: Mesh, lr: float = 1e-3):
                     h = h[:want]
         return h
 
-    def shard_loss(params_tp, x, y):
-        tp_index = jax.lax.axis_index("tp")
-        pred = local_forward(params_tp, x, tp_index)
+    def shard_loss(params_tp, trow_tp, tcol_tp, x, y):
+        pred = local_forward(params_tp, trow_tp, tcol_tp, x)
         # mean over the global batch: local mean then dp-mean
         return jax.lax.pmean(jnp.mean((pred - y) ** 2), "dp")
 
-    def per_shard_step(params_tp, x, y):
-        # x/y arrive as the local dp block [in_pad, batch/n_dp]; params as
-        # [1, Tmax, tm, tk] (tp-sharded dim 0), stripped inside local_forward
-        l, grads = jax.value_and_grad(shard_loss)(params_tp, x, y)
-        new_params = [p - lr * g for p, g in zip(params_tp, grads)]
+    def per_shard_step(params_tp, trow_tp, tcol_tp, masks_tp, x, y):
+        # x/y arrive as the local dp block [in_pad, batch/n_dp]; params /
+        # indices / masks as [1, ...] (tp-sharded dim 0)
+        l, grads = jax.value_and_grad(shard_loss)(
+            params_tp, trow_tp, tcol_tp, x, y)
+        # mask padded slots out of the update
+        new_params = [
+            p - lr * g * m
+            for p, g, m in zip(params_tp, grads, masks_tp)
+        ]
         return new_params, l[None]
 
     pspecs = [P("tp") for _ in shard_params]
     step = jax.shard_map(
         per_shard_step,
         mesh=mesh,
-        in_specs=(pspecs, P(None, "dp"), P(None, "dp")),
+        in_specs=(pspecs, pspecs, pspecs, pspecs, P(None, "dp"), P(None, "dp")),
         out_specs=(pspecs, P("dp")),
     )
-    return jax.jit(step), shard_params
+
+    @jax.jit
+    def public_step(params_tp, x, y):
+        return step(
+            params_tp,
+            [jnp.asarray(a) for a in shard_trow],
+            [jnp.asarray(a) for a in shard_tcol],
+            [jnp.asarray(a) for a in shard_masks],
+            x, y,
+        )
+
+    return public_step, shard_params
