@@ -203,21 +203,28 @@ def _element_entry(name, a, b, config, rt, gate_rows=2048):
     out = {"name": name, "engine": "element"}
     plan = build_esc_plan(a, b)
     ops = esc_transfer(esc_operands(plan, a, b))
-    # f32 end-to-end: bf16 chunk-value writeback was measured SLOWER
-    # (locpl 1.30 -> 1.56 ms, rmat 1.53 -> 2.00 ms) — the narrow-store
-    # lane packing/conversion costs more than the halved write bytes save,
-    # same as the bf16-operand probe (BENCH_NOTES)
+    # f32 end-to-end: bf16 writeback is ~7% faster under honest timing
+    # (1.68 vs 1.80 ms, locpl-64k) but halves the counted output bytes,
+    # so the %-of-SoL metric drops; the entry keeps the exact-result f32
+    # contract and counts what it streams (BENCH_NOTES round-3 reset)
     run = _esc_execute_jit()
 
     # gate on rows [0, gate_rows): gather those chunks on device, read back
     # only the slice (full nnz(C) readback would be minutes over the tunnel)
-    vals_dev = run(ops)
+    vals_dev = run(ops)          # tuple of per-class arrays in esc order
     chunk_row = np.searchsorted(plan.indptr, plan.esc_to_csr,
                                 side="right") - 1
     sel = np.nonzero(chunk_row < gate_rows)[0]
     nnz_slice = int(plan.indptr[gate_rows])
-    sub = np.asarray(jnp.take(vals_dev, jnp.asarray(sel.astype(np.int32)))
-                     ).astype(np.float64)
+    offs = np.cumsum([0] + [int(v.shape[0]) for v in vals_dev])
+    subs = []
+    for ci, v in enumerate(vals_dev):
+        s = sel[(sel >= offs[ci]) & (sel < offs[ci + 1])] - offs[ci]
+        if len(s):
+            subs.append(np.asarray(
+                jnp.take(v, jnp.asarray(s.astype(np.int32)))))
+    sub = (np.concatenate(subs) if subs
+           else np.zeros(0, np.float32)).astype(np.float64)
     data = np.zeros(nnz_slice, np.float64)
     np.add.at(data, plan.esc_to_csr[sel], sub)
     got = sp.csr_matrix(

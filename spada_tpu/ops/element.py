@@ -273,7 +273,13 @@ def esc_operands(plan: EscPlan, a: CsrMatrix, b: CsrMatrix,
     """
     a_ext = np.append(a.data, 0.0).astype(dtype)
     b_ext = np.append(b.data, 0.0).astype(dtype)
-    return [(a_ext[bk.a_gidx], b_ext[bk.b_gidx]) for bk in plan.buckets]
+    # the L=1 class ships FLAT [n] (not [n,1]): its chunk values are the
+    # products themselves, and an [n,1]->[n] reshape on device is a
+    # layout-changing copy XLA charges a full extra HBM pass for
+    # (measured 1.76 vs 0.85 ms on a 47M-element class)
+    return [(a_ext[bk.a_gidx[:, 0]], b_ext[bk.b_gidx[:, 0]]) if bk.L == 1
+            else (a_ext[bk.a_gidx], b_ext[bk.b_gidx])
+            for bk in plan.buckets]
 
 
 def _esc_execute_jit(out_dtype=None):
@@ -289,17 +295,32 @@ def _esc_execute_jit(out_dtype=None):
 
     @jax.jit
     def run(operands):
+        # returns a TUPLE of per-class chunk-value arrays (esc order =
+        # bucket order): a device-side concatenate is NOT fused by XLA and
+        # re-streams the whole output through HBM — measured on locpl-64k
+        # it nearly doubled the kernel (1.31 ms vs 0.67 ms sum-of-classes).
+        # Consumers flatten on host via esc_values_host / per-class offsets.
         outs = []
         for av, bv in operands:
             prod = (av * bv).astype(jnp.float32)
-            if prod.ndim == 1 or prod.shape[1] == 1:
+            if prod.ndim == 1:
+                outs.append(prod.astype(out_dtype))
+            elif prod.shape[1] == 1:
+                # legacy [n,1] operands still work but pay a layout-copy
+                # pass for the squeeze; esc_operands ships L=1 flat
                 outs.append(prod.reshape(-1).astype(out_dtype))
             else:
                 outs.append(jnp.sum(prod, axis=1).astype(out_dtype))
-        return (jnp.concatenate(outs) if outs
-                else jnp.zeros(0, out_dtype))
+        return tuple(outs)
 
     return run
+
+
+def esc_values_host(values) -> np.ndarray:
+    """Flatten per-class device chunk values to one host array in esc
+    (bucket-concatenated) order."""
+    parts = [np.asarray(v) for v in values]
+    return (np.concatenate(parts) if parts else np.zeros(0, np.float32))
 
 
 _esc_runs: dict = {}           # out_dtype name -> jitted runner
@@ -334,7 +355,7 @@ class EscResult:
     """Element-path result: C structure (host) + chunk values (device)."""
 
     plan: EscPlan
-    values: object              # device array [n_chunks] in esc order
+    values: object    # tuple of per-class device arrays, esc (bucket) order
     elapsed_s: Optional[float] = None
 
     def to_csr(self) -> CsrMatrix:
@@ -343,7 +364,7 @@ class EscResult:
         # CSR position; add-at combines them (the final psum merge); bf16
         # chunk values upcast first (ml_dtypes add.at support is spotty)
         np.add.at(data, self.plan.esc_to_csr,
-                  np.asarray(self.values).astype(np.float64))
+                  esc_values_host(self.values).astype(np.float64))
         return CsrMatrix(self.plan.shape, self.plan.indptr,
                          self.plan.indices, data.astype(np.float32))
 

@@ -95,12 +95,17 @@ def partition_element(a: CsrMatrix, b: CsrMatrix, n_dev: int,
                 per.append((np.zeros((0, L), dtype), np.zeros((0, L), dtype)))
         n_max = max(av.shape[0] for av, _ in per)
         n_max = max(n_max, 1)
-        av_st = np.zeros((n_dev, n_max, L), dtype)
-        bv_st = np.zeros((n_dev, n_max, L), dtype)
+        # L=1 stacks ship flat [n_dev, n_max] (see esc_operands: a trailing
+        # [.,1] dim costs a device layout-copy pass to squeeze)
+        shp = (n_dev, n_max) if L == 1 else (n_dev, n_max, L)
+        av_st = np.zeros(shp, dtype)
+        bv_st = np.zeros(shp, dtype)
         cnt = np.zeros(n_dev, np.int64)
         for d, (av, bv) in enumerate(per):
-            av_st[d, : av.shape[0]] = av
-            bv_st[d, : bv.shape[0]] = bv
+            av_st[d, : av.shape[0]] = av if av.ndim == len(shp) - 1 \
+                else av[:, 0]
+            bv_st[d, : bv.shape[0]] = bv if bv.ndim == len(shp) - 1 \
+                else bv[:, 0]
             cnt[d] = av.shape[0]
         a_stacked.append(av_st)
         b_stacked.append(bv_st)

@@ -47,10 +47,20 @@ def device_time_stats(
 
     ``fn`` must accept its first argument perturbed by a traced scalar
     (the loop-carry dependency): it is called as ``fn(args[0] + eps, *rest)``
-    where ``eps`` is a tiny traced scalar.  The median over ``trials`` of
-    the two-point slope rejects shared-pool interference spikes in either
-    direction (a min over slope samples could go negative under jitter);
-    the raw samples quantify that session's spread.
+    where ``eps`` is a tiny traced scalar.  ``fn`` may return one array or
+    a pytree of arrays.  The median over ``trials`` of the two-point slope
+    rejects shared-pool interference spikes in either direction (a min
+    over slope samples could go negative under jitter); the raw samples
+    quantify that session's spread.
+
+    The FULL output pytree is the fori_loop carry, with the next
+    iteration's perturbation derived from each carried leaf.  A scalar
+    ``sum(out)`` carry is not enough: XLA fuses the reduction into an
+    elementwise producer and never stores the output — a pure ``a*b``
+    microbenchmark "measured" 1147 GB/s on a 819 GB/s chip that way.
+    Carried leaves must be materialized every iteration, so output HBM
+    writes are timed like the real dispatch pays them.  (Pallas kernels
+    store internally either way; their numbers are unchanged by this.)
     """
     import jax
     import jax.numpy as jnp
@@ -58,17 +68,34 @@ def device_time_stats(
     if roundtrip is None:
         roundtrip = measure_roundtrip()
 
+    def _probe(out):
+        # one element per leaf: cheap, but keeps every carried leaf live
+        # (XLA's while-loop simplifier removes only fully-dead carry slots)
+        leaves = jax.tree_util.tree_leaves(out)
+        acc = jnp.float32(0.0)
+        for leaf in leaves:
+            if leaf.size:
+                acc = acc + jnp.sum(
+                    leaf.reshape(-1)[:1]).astype(jnp.float32)
+        return acc
+
     @functools.partial(jax.jit, static_argnames="K")
     def runK(first, *rest, K=k):
+        out_shape = jax.eval_shape(fn, first, *rest)
+        init = jax.tree_util.tree_map(
+            lambda s: jnp.zeros(s.shape, s.dtype), out_shape)
+
         def body(i, carry):
+            s, prev = carry
             # cast the perturbation to the input dtype — adding a strong-f32
             # scalar would silently promote bf16 inputs to f32 and change
             # what is being measured
-            eps = (carry * 1e-30).astype(first.dtype)
+            eps = ((s + _probe(prev)) * 1e-30).astype(first.dtype)
             out = fn(first + eps, *rest)
-            return jnp.sum(out).astype(jnp.float32) * 1e-30
+            return (_probe(out) * 1e-30, out)
 
-        return jax.lax.fori_loop(0, K, body, jnp.float32(0.0))
+        s, out = jax.lax.fori_loop(0, K, body, (jnp.float32(0.0), init))
+        return s + _probe(out) * 1e-30
 
     def run_once(kk):
         t0 = time.perf_counter()

@@ -211,14 +211,14 @@ def test_esc_execute_out_dtype_cached_separately():
     import jax.numpy as jnp
 
     from spada_tpu.ops.element import (build_esc_plan, esc_execute,
-                                       esc_operands)
+                                       esc_operands, esc_values_host)
 
     a = powerlaw_csr(256, 256, 6.0, seed=56, dtype=np.float32)
     b = powerlaw_csr(256, 256, 6.0, seed=57, dtype=np.float32)
     plan = build_esc_plan(a, b)
     ops = esc_operands(plan, a, b)
-    v32 = np.asarray(esc_execute(ops))
-    v16 = np.asarray(esc_execute(ops, out_dtype=jnp.bfloat16))
+    v32 = esc_values_host(esc_execute(ops))
+    v16 = esc_values_host(esc_execute(ops, out_dtype=jnp.bfloat16))
     assert v32.dtype == np.float32
     assert str(v16.dtype) == "bfloat16"
     denom = max(np.abs(v32).max(), 1e-30)
