@@ -989,29 +989,35 @@ def _make_panel_kernel(n_items: int, n_groups: int, depth: int, ogroup: int,
             return sa, sb
 
         def panel_dot(sa0, sb0, L):
+            # slot starts are multiples of tk by construction (slot s ->
+            # offset s*tk); the pl.multiple_of hint lets Mosaic prove the
+            # dynamic slice is tile-aligned instead of emitting a VPU
+            # relayout copy per operand (the round-2 3x loss)
+            sa_ofs = pl.multiple_of(sa0 * tk, tk)
+            sb_ofs = pl.multiple_of(sb0 * tk, tk)
             if a_major:
                 # natural (m, k) x (k, n): the MXU's canonical contraction —
                 # no transposed-lhs lowering (measured 3x slower on v5e)
                 return jax.lax.dot_general(
-                    acache[:, pl.ds(sa0 * tk, L * tk)],
-                    bcache[pl.ds(sb0 * tk, L * tk)],
+                    acache[:, pl.ds(sa_ofs, L * tk)],
+                    bcache[pl.ds(sb_ofs, L * tk)],
                     dimension_numbers=(((1,), (0,)), ((), ())),
                     preferred_element_type=jnp.float32,
                     precision=precision,
                 )
-            x = acache[pl.ds(sa0 * tk, L * tk)]
+            x = acache[pl.ds(sa_ofs, L * tk)]
             if xpose:
                 # explicit relayout before a canonical (1,0)-contraction —
                 # kept as an A/B switch in case Mosaic's transposed-lhs
                 # matmul path lowers poorly on some toolchains
                 return jax.lax.dot_general(
-                    x.T, bcache[pl.ds(sb0 * tk, L * tk)],
+                    x.T, bcache[pl.ds(sb_ofs, L * tk)],
                     dimension_numbers=(((1,), (0,)), ((), ())),
                     preferred_element_type=jnp.float32,
                     precision=precision,
                 )
             return jax.lax.dot_general(
-                x, bcache[pl.ds(sb0 * tk, L * tk)],
+                x, bcache[pl.ds(sb_ofs, L * tk)],
                 dimension_numbers=(((0,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32,
                 precision=precision,
