@@ -72,6 +72,9 @@ class SpadaConfig:
     #  lifted to the density axis)
     element_cap: int = 512
     element_dispatch: str = "auto"
+    # element numeric executor: 'xla' (fused elementwise/reduce ops) or
+    # 'pallas' (explicitly pipelined streaming kernels, ops/element_stream)
+    element_backend: str = "xla"
     # plan-time layout densification inside spgemm() (C-invariant subset:
     # k-grid anchor + k permutation; row permutations need the caller to
     # carry an inverse, so they only apply via preprocess_densified/CLI)

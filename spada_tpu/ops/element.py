@@ -461,13 +461,16 @@ def _row_slab_bounds(a: CsrMatrix, b: CsrMatrix, max_products: int):
 
 def spgemm_element(a: CsrMatrix, b: CsrMatrix, cap: int = 512,
                    plan: Optional[EscPlan] = None,
-                   dtype=np.float32, max_slab_products: int = 2**28):
+                   dtype=np.float32, max_slab_products: int = 2**28,
+                   backend: str = "xla"):
     """One-call element-granular SpGEMM (plan + operands + execute).
 
     ``elapsed_s`` times the device execution only (transfer is a one-time
     format cost, like shipping BSR tiles).  Expansions larger than
     ``max_slab_products`` (default 2^28 ≈ 2.1 GB of f32 operands) stream
-    through row slabs and return an :class:`EscSlabbedResult`.
+    through row slabs and return an :class:`EscSlabbedResult`.  ``backend``
+    picks the numeric executor: 'xla' (fused elementwise ops) or 'pallas'
+    (pipelined streaming kernels, :mod:`spada_tpu.ops.element_stream`).
     """
     if (plan is None and a.shape[0] > 1
             and expansion_products(a, b) > max_slab_products):
@@ -477,14 +480,38 @@ def spgemm_element(a: CsrMatrix, b: CsrMatrix, cap: int = 512,
         for s, t in zip(bounds[:-1], bounds[1:]):
             part = spgemm_element(_slice_rows(a, s, t), b, cap=cap,
                                   dtype=dtype,
-                                  max_slab_products=max_slab_products)
+                                  max_slab_products=max_slab_products,
+                                  backend=backend)
             parts.append(part)
             elapsed += part.elapsed_s or 0.0
         return EscSlabbedResult((a.shape[0], b.shape[1]), parts, elapsed)
     plan = plan or build_esc_plan(a, b, cap=cap)
+    import jax
+
+    if backend == "pallas":
+        import jax.numpy as jnp
+
+        from spada_tpu.ops.element_stream import (StreamResult,
+                                                  build_stream_layout,
+                                                  stream_execute_fn,
+                                                  stream_operands)
+
+        layout = build_stream_layout(plan)
+        ops = tuple(
+            (jnp.asarray(av), jnp.asarray(bv))
+            for av, bv in stream_operands(layout, plan, a, b, dtype=dtype)
+        )
+        run = stream_execute_fn(layout)
+        jax.block_until_ready(run(ops))  # compile + warm
+        t0 = time.perf_counter()
+        vals = run(ops)
+        jax.block_until_ready(vals)
+        return StreamResult(plan, layout, vals,
+                            elapsed_s=time.perf_counter() - t0)
+    if backend != "xla":
+        raise ValueError(f"unknown element backend {backend!r}")
     ops = esc_transfer(esc_operands(plan, a, b, dtype=dtype))
     run = _esc_runner()
-    import jax
 
     jax.block_until_ready(run(ops))  # compile + warm
     t0 = time.perf_counter()

@@ -222,6 +222,27 @@ def stream_values_host(values) -> np.ndarray:
     return (np.concatenate(parts) if parts else np.zeros(0, np.float32))
 
 
+@dataclasses.dataclass
+class StreamResult:
+    """Element-path result from the Pallas streaming executor.
+
+    Mirrors :class:`spada_tpu.ops.element.EscResult`'s surface (``plan``,
+    ``values``, ``elapsed_s``, ``to_csr``/``todense``) so the spgemm entry
+    point and the slab-streaming machinery treat both backends uniformly.
+    """
+
+    plan: EscPlan
+    layout: StreamLayout
+    values: object
+    elapsed_s: Optional[float] = None
+
+    def to_csr(self):
+        return stream_to_csr(self.layout, self.values)
+
+    def todense(self) -> np.ndarray:
+        return self.to_csr().todense()
+
+
 def stream_to_csr(layout: StreamLayout, values):
     """Extraction: combine padded chunk values into the CSR data array
     (pads add 0.0 at position 0 — exact)."""

@@ -132,7 +132,8 @@ def _spgemm_via_element(a: CsrMatrix, b: CsrMatrix,
                         config: SpadaConfig) -> SpGemmResult:
     from spada_tpu.ops.element import spgemm_element
 
-    er = spgemm_element(a, b, cap=config.element_cap)
+    er = spgemm_element(a, b, cap=config.element_cap,
+                        backend=config.element_backend)
     # plain or row-slab-streamed result (EscResult / EscSlabbedResult)
     n_padded = (er.plan.n_padded if hasattr(er, "plan") else er.n_padded)
     n_products = (er.plan.n_products if hasattr(er, "plan")

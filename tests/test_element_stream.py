@@ -93,6 +93,34 @@ def test_layout_geometry_invariants():
     assert layout.operand_bytes() >= plan.operand_bytes()
 
 
+def test_spgemm_element_backend_routing():
+    """backend='pallas' routes spgemm_element through the stream executor
+    (interpret mode off-TPU) and matches scipy, incl. the row-slab path."""
+    from spada_tpu.config import SpadaConfig
+    from spada_tpu.ops.element import EscSlabbedResult, spgemm_element
+    from spada_tpu.ops.element_stream import StreamResult
+    from spada_tpu.ops.spgemm import spgemm
+
+    a, b = CASES[0][1], CASES[0][2]
+    res = spgemm_element(a, b, backend="pallas")
+    assert isinstance(res, StreamResult)
+    np.testing.assert_allclose(res.todense(), _oracle(a, b),
+                               rtol=1e-4, atol=1e-4)
+
+    cfg = SpadaConfig(element_backend="pallas")
+    res2 = spgemm(a, b, cfg, dataflow="element")
+    np.testing.assert_allclose(res2.todense(), _oracle(a, b),
+                               rtol=1e-4, atol=1e-4)
+
+    # slab path carries the backend through
+    a3, b3 = CASES[2][1], CASES[2][2]
+    res3 = spgemm_element(a3, b3, backend="pallas", max_slab_products=2000)
+    assert isinstance(res3, EscSlabbedResult)
+    assert all(isinstance(p, StreamResult) for p in res3.parts)
+    np.testing.assert_allclose(res3.todense(), _oracle(a3, b3),
+                               rtol=1e-4, atol=1e-4)
+
+
 def test_empty_plan():
     from spada_tpu.sparse.csr import CsrMatrix
 
