@@ -914,7 +914,7 @@ def _make_panel_kernel(n_items: int, n_groups: int, depth: int, ogroup: int,
                        out_dtype=jnp.float32, nbuf: int = 2,
                        xpose: bool = False, short_lens=None,
                        rem_lens=None, has_long: bool = True,
-                       a_major: bool = False):
+                       a_major: bool = False, cache3d: bool = False):
     # static branch pruning: only the run/chunk lengths that actually occur
     # in the plan get emitted (smaller Mosaic programs, faster interpret)
     if short_lens is None:
@@ -933,11 +933,19 @@ def _make_panel_kernel(n_items: int, n_groups: int, depth: int, ogroup: int,
             return pk >> 9, (pk >> 1) & 255, pk & 1
 
         def a_dst(sa):
+            # 3-D: one slot = one leading index (untiled dim — cheap);
             # m-major: tiles concatenate along lanes, natural (tm, tk) form;
             # k-major: along sublanes, k-transposed (tk, tm) form
+            if cache3d:
+                return acache.at[sa]
             if a_major:
                 return acache.at[:, pl.ds(sa * tk, tk)]
             return acache.at[pl.ds(sa * tk, tk)]
+
+        def b_dst(sb):
+            if cache3d:
+                return bcache.at[sb]
+            return bcache.at[pl.ds(sb * tk, tk)]
 
         def start_loads(w):
             a_tid, sa, a_ld = unpack(a_pk_ref[w])
@@ -953,7 +961,7 @@ def _make_panel_kernel(n_items: int, n_groups: int, depth: int, ogroup: int,
             @pl.when(b_ld == 1)
             def _():
                 pltpu.make_async_copy(
-                    b_hbm.at[b_tid], bcache.at[pl.ds(sb * tk, tk)],
+                    b_hbm.at[b_tid], b_dst(sb),
                     bsem.at[sb],
                 ).start()
 
@@ -982,13 +990,31 @@ def _make_panel_kernel(n_items: int, n_groups: int, depth: int, ogroup: int,
             @pl.when(b_ld == 1)
             def _():
                 pltpu.make_async_copy(
-                    b_hbm.at[b_tid], bcache.at[pl.ds(sb * tk, tk)],
+                    b_hbm.at[b_tid], b_dst(sb),
                     bsem.at[sb],
                 ).wait()
 
             return sa, sb
 
+        def panel_dot_3d(sa0, sb0, L):
+            # dynamic START, static LENGTH slice on the untiled leading dim,
+            # then a row-major-identity collapse (L, tk, x) -> (L*tk, x):
+            # no dynamic-offset slicing on tiled dims anywhere
+            if L == 1:
+                ap, bp = acache[sa0], bcache[sb0]
+            else:
+                ap = acache[pl.ds(sa0, L)].reshape(L * tk, acache.shape[2])
+                bp = bcache[pl.ds(sb0, L)].reshape(L * tk, bcache.shape[2])
+            return jax.lax.dot_general(
+                ap, bp,
+                dimension_numbers=(((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+                precision=precision,
+            )
+
         def panel_dot(sa0, sb0, L):
+            if cache3d:
+                return panel_dot_3d(sa0, sb0, L)
             # slot starts are multiples of tk by construction (slot s ->
             # offset s*tk); the pl.multiple_of hint lets Mosaic prove the
             # dynamic slice is tile-aligned instead of emitting a VPU
@@ -1121,7 +1147,7 @@ def _make_panel_kernel(n_items: int, n_groups: int, depth: int, ogroup: int,
     static_argnames=("n_c_tiles", "a_slots", "b_slots", "depth", "ogroup",
                      "max_panel", "interpret", "precision", "out_dtype",
                      "nbuf", "xpose", "short_lens", "rem_lens",
-                     "has_long", "a_major"),
+                     "has_long", "a_major", "cache3d"),
 )
 def _run_pallas_panel(tile_ptr, a_packed, b_packed, a_tiles_t, b_tiles,
                       n_c_tiles: int, a_slots: int, b_slots: int,
@@ -1129,10 +1155,14 @@ def _run_pallas_panel(tile_ptr, a_packed, b_packed, a_tiles_t, b_tiles,
                       interpret: bool = False, precision: str = "default",
                       out_dtype=jnp.float32, nbuf: int = 2,
                       xpose: bool = False, short_lens=None, rem_lens=None,
-                      has_long: bool = True, a_major: bool = False):
+                      has_long: bool = True, a_major: bool = False,
+                      cache3d: bool = False):
     """``a_tiles_t``: k-transposed A tiles, (n_a, tk, tm) — unless
     ``a_major``, where A tiles stay natural (n_a, tm, tk) and the cache
-    concatenates a run's tiles along lanes for the canonical contraction."""
+    concatenates a run's tiles along lanes for the canonical contraction.
+    ``cache3d``: slot-major (slots, tk, x) caches — panel reads are
+    dynamic-START static-LENGTH leading-dim slices + a free collapse,
+    avoiding dynamic-offset slicing on tiled dims entirely."""
     W = a_packed.shape[0]
     if a_major:
         tm, tk = a_tiles_t.shape[1], a_tiles_t.shape[2]
@@ -1141,13 +1171,22 @@ def _run_pallas_panel(tile_ptr, a_packed, b_packed, a_tiles_t, b_tiles,
     tn = b_tiles.shape[2]
     n_groups = -(-n_c_tiles // ogroup)
     out_dtype = jnp.dtype(out_dtype)
-    scratch = [
-        pltpu.VMEM((tm, a_slots * tk) if a_major else (a_slots * tk, tm),
-                   a_tiles_t.dtype),
-        pltpu.VMEM((b_slots * tk, tn), b_tiles.dtype),
-        pltpu.SemaphoreType.DMA((a_slots,)),
-        pltpu.SemaphoreType.DMA((b_slots,)),
-    ]
+    if cache3d:
+        assert not a_major and not xpose, "cache3d uses the k-major form"
+        scratch = [
+            pltpu.VMEM((a_slots, tk, tm), a_tiles_t.dtype),
+            pltpu.VMEM((b_slots, tk, tn), b_tiles.dtype),
+            pltpu.SemaphoreType.DMA((a_slots,)),
+            pltpu.SemaphoreType.DMA((b_slots,)),
+        ]
+    else:
+        scratch = [
+            pltpu.VMEM((tm, a_slots * tk) if a_major
+                       else (a_slots * tk, tm), a_tiles_t.dtype),
+            pltpu.VMEM((b_slots * tk, tn), b_tiles.dtype),
+            pltpu.SemaphoreType.DMA((a_slots,)),
+            pltpu.SemaphoreType.DMA((b_slots,)),
+        ]
     scratch += [pltpu.VMEM((ogroup, tm, tn), jnp.float32)
                 for _ in range(nbuf)]
     if out_dtype != jnp.float32:
@@ -1170,7 +1209,8 @@ def _run_pallas_panel(tile_ptr, a_packed, b_packed, a_tiles_t, b_tiles,
                            _resolve_precision(precision),
                            out_dtype=out_dtype, nbuf=nbuf, xpose=xpose,
                            short_lens=short_lens, rem_lens=rem_lens,
-                           has_long=has_long, a_major=a_major),
+                           has_long=has_long, a_major=a_major,
+                           cache3d=cache3d),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct(
             (n_groups * ogroup, tm, tn), out_dtype
@@ -1223,7 +1263,7 @@ def run_worklist_panel(a_tiles, b_tiles, a_ids, b_ids, o_ids,
                        out_dtype=jnp.float32, nbuf: int = 2,
                        a_tiles_t=None, run_order: Optional[str] = None,
                        c_rows=None, c_cols=None, xpose: bool = False,
-                       a_major: bool = False):
+                       a_major: bool = False, cache3d: bool = False):
     """Panel-dot engine; returns (c_tiles, a_plan, b_plan, run_perm).
 
     ``a_tiles`` may be passed pre-transposed via ``a_tiles_t`` (n, tk, tm)
@@ -1291,6 +1331,7 @@ def run_worklist_panel(a_tiles, b_tiles, a_ids, b_ids, o_ids,
                 max_panel=max_panel, interpret=interpret,
                 precision=precision, out_dtype=out_dtype, nbuf=nbuf,
                 a_tiles_t=a_tiles_t, xpose=xpose, a_major=a_major,
+                cache3d=cache3d,
             )
             outs.append(c)
         return jnp.concatenate(outs, axis=0), None, None, run_perm
@@ -1315,7 +1356,7 @@ def run_worklist_panel(a_tiles, b_tiles, a_ids, b_ids, o_ids,
         depth=depth, ogroup=ogroup, max_panel=max_panel,
         interpret=bool(interpret), precision=precision,
         out_dtype=out_dtype, nbuf=nbuf, xpose=xpose, a_major=a_major,
-        short_lens=short_lens, rem_lens=rem_lens,
+        cache3d=cache3d, short_lens=short_lens, rem_lens=rem_lens,
         has_long=bool(len(long)),
     )
     return c, a_plan, b_plan, run_perm

@@ -136,6 +136,25 @@ def test_panel_engine_matches_oracle(max_panel):
     assert np.max(np.abs(np.asarray(c) - ref)) < 1e-4 * max(scale, 1.0)
 
 
+@pytest.mark.parametrize("max_panel", [1, 2, 4])
+def test_panel_engine_cache3d_matches_oracle(max_panel):
+    # slot-major 3-D caches: leading-dim panel slices + collapse reshape
+    a = banded_csr(512, 512, bandwidth=96, seed=0, dtype=np.float32)
+    b = banded_csr(512, 512, bandwidth=96, seed=1, dtype=np.float32)
+    A = BsrMatrix.from_csr(a, 64, 64, dtype=np.float32)
+    B = BsrMatrix.from_csr(b, 64, 64, dtype=np.float32)
+    wl = build_worklist(A, B, order="row")
+    ref = np.asarray(run_worklist_xla(
+        A.tiles, B.tiles, wl.a_tid, wl.b_tid, wl.o_tid,
+        n_c_tiles=wl.n_c_tiles, precision="highest"))
+    c, _, _, _ = run_worklist_panel(
+        A.tiles, B.tiles, wl.a_tid, wl.b_tid, wl.o_tid,
+        n_c_tiles=wl.n_c_tiles, interpret=True, precision="highest",
+        max_panel=max_panel, cache3d=True)
+    scale = np.abs(ref).max()
+    assert np.max(np.abs(np.asarray(c) - ref)) < 1e-4 * max(scale, 1.0)
+
+
 def test_panel_engine_a_major_matches_oracle():
     # m-major A cache (natural tiles, lane-concatenated panels)
     a = banded_csr(512, 512, bandwidth=96, seed=0, dtype=np.float32)
