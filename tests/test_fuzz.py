@@ -63,6 +63,23 @@ def test_auto_dispatch_matches_scipy(seed):
                 f"shapes {a.shape}x{b.shape}")
 
 
+@pytest.mark.parametrize("seed", range(8))
+def test_element_backends_agree(seed):
+    """XLA and Pallas-stream element executors agree on the same plan:
+    identical structure, values within f32 reduction-order roundoff (the
+    stream layout reduces a chunk along sublanes, XLA along lanes)."""
+    from spada_tpu.ops.element import build_esc_plan, spgemm_element
+
+    _, a, b = _random_case(seed)
+    cap = [8, 32, 512][seed % 3]
+    plan = build_esc_plan(a, b, cap=cap)
+    cx = spgemm_element(a, b, cap=cap, plan=plan, backend="xla").to_csr()
+    cp = spgemm_element(a, b, cap=cap, plan=plan, backend="pallas").to_csr()
+    assert np.array_equal(cx.indptr, cp.indptr)
+    assert np.array_equal(cx.indices, cp.indices)
+    np.testing.assert_allclose(cx.data, cp.data, rtol=1e-5, atol=1e-6)
+
+
 @pytest.mark.parametrize("seed", [3, 7, 11])
 def test_slabbed_csr_matches_scipy(seed):
     _, a, b = _random_case(seed)
