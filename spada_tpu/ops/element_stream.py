@@ -67,22 +67,26 @@ def _pad_to(x: int, m: int) -> int:
     return -(-x // m) * m
 
 
+_MIN_STEPS = 32   # blocks per class: padding <= 1 block <= ~3% of the class
+
+
 def _class_geometry(L: int, n: int) -> dict:
-    """Block shape for one class: (rows-per-block, lanes) and padded N."""
+    """Block shape for one class: (rows-per-block, lanes) and padded N.
+
+    Blocks cap at ~8 MB per operand (double-buffered VMEM budget) and
+    shrink for small classes so a class streams >= ``_MIN_STEPS`` blocks —
+    the padding (one partial block) then stays under ~3% of the class.
+    """
     if L == 1:
-        br = max(8, _BLOCK_BYTES // (4 * _LANES))        # 2048 rows
-        n_pad = _pad_to(n, _LANES)
-        rows = n_pad // _LANES
-        if rows < br:
-            br = _pad_to(rows, 8)
-        rows = _pad_to(rows, br)
-        n_pad = rows * _LANES
-        return {"L": 1, "n": n, "n_pad": n_pad, "rows": rows, "br": br}
-    chl = max(128, (_BLOCK_BYTES // (4 * L)) // 128 * 128)
-    n_pad = _pad_to(n, 128)
-    if n_pad < chl:
-        chl = n_pad
-    n_pad = _pad_to(n_pad, chl)
+        rows0 = _pad_to(n, _LANES) // _LANES
+        br = min(_BLOCK_BYTES // (4 * _LANES),            # 2048 rows
+                 max(8, _pad_to(-(-rows0 // _MIN_STEPS), 8)))
+        rows = _pad_to(rows0, br)
+        return {"L": 1, "n": n, "n_pad": rows * _LANES, "rows": rows,
+                "br": br}
+    chl = min(max(128, (_BLOCK_BYTES // (4 * L)) // 128 * 128),
+              max(128, _pad_to(-(-n // _MIN_STEPS), 128)))
+    n_pad = _pad_to(n, chl)
     return {"L": L, "n": n, "n_pad": n_pad, "chl": chl}
 
 
