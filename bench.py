@@ -204,8 +204,13 @@ def _tile_entry(name, a, b, config, T, rt, densify=False):
     return out
 
 
-def _element_entry(name, a, b, config, rt, gate_rows=2048):
-    """Element/ESC entry: gate vs scipy on a row slice, then device_time."""
+def _element_entry(name, a, b, config, rt, gate_rows=2048,
+                   backend="xla"):
+    """Element/ESC entry: gate vs scipy on a row slice, then device_time.
+
+    ``backend``: 'xla' (fused elementwise executor) or 'pallas' (pipelined
+    stream executor, ops/element_stream — counted bytes include its <=0.5%
+    block padding)."""
     import jax.numpy as jnp
     import scipy.sparse as sp
 
@@ -213,33 +218,50 @@ def _element_entry(name, a, b, config, rt, gate_rows=2048):
                                        esc_operands, esc_transfer)
     from spada_tpu.utils.timing import device_time_stats
 
-    out = {"name": name, "engine": "element"}
+    out = {"name": name, "engine": "element", "backend": backend}
     plan = build_esc_plan(a, b)
-    ops = esc_transfer(esc_operands(plan, a, b))
     # f32 end-to-end: bf16 writeback is ~7% faster under honest timing
     # (1.68 vs 1.80 ms, locpl-64k) but halves the counted output bytes,
     # so the %-of-SoL metric drops; the entry keeps the exact-result f32
     # contract and counts what it streams (BENCH_NOTES round-3 reset)
-    run = _esc_execute_jit()
+    if backend == "pallas":
+        from spada_tpu.ops.element_stream import (build_stream_layout,
+                                                  stream_execute_fn,
+                                                  stream_operands)
+
+        layout = build_stream_layout(plan)
+        ops = tuple(
+            (jnp.asarray(av), jnp.asarray(bv))
+            for av, bv in stream_operands(layout, plan, a, b))
+        run = stream_execute_fn(layout, interpret=False)
+        esc_map = layout.esc_to_csr
+        bytes_str = layout.operand_bytes()
+    else:
+        ops = esc_transfer(esc_operands(plan, a, b))
+        run = _esc_execute_jit()
+        esc_map = plan.esc_to_csr
+        bytes_str = plan.operand_bytes()
 
     # gate on rows [0, gate_rows): gather those chunks on device, read back
     # only the slice (full nnz(C) readback would be minutes over the tunnel)
     vals_dev = run(ops)          # tuple of per-class arrays in esc order
-    chunk_row = np.searchsorted(plan.indptr, plan.esc_to_csr,
+    # (pallas) pad chunks map to CSR position 0 with value 0*0 — selecting
+    # them adds exact zeros to row 0, so no masking is needed
+    chunk_row = np.searchsorted(plan.indptr, esc_map,
                                 side="right") - 1
     sel = np.nonzero(chunk_row < gate_rows)[0]
     nnz_slice = int(plan.indptr[gate_rows])
-    offs = np.cumsum([0] + [int(v.shape[0]) for v in vals_dev])
+    offs = np.cumsum([0] + [int(np.prod(v.shape)) for v in vals_dev])
     subs = []
     for ci, v in enumerate(vals_dev):
         s = sel[(sel >= offs[ci]) & (sel < offs[ci + 1])] - offs[ci]
         if len(s):
             subs.append(np.asarray(
-                jnp.take(v, jnp.asarray(s.astype(np.int32)))))
+                jnp.take(v.reshape(-1), jnp.asarray(s.astype(np.int32)))))
     sub = (np.concatenate(subs) if subs
            else np.zeros(0, np.float32)).astype(np.float64)
     data = np.zeros(nnz_slice, np.float64)
-    np.add.at(data, plan.esc_to_csr[sel], sub)
+    np.add.at(data, esc_map[sel], sub)
     got = sp.csr_matrix(
         (data, plan.indices[:nnz_slice], plan.indptr[: gate_rows + 1]),
         shape=(gate_rows, plan.shape[1]))
@@ -262,7 +284,6 @@ def _element_entry(name, a, b, config, rt, gate_rows=2048):
 
     elapsed, samples = device_time_stats(fn, tuple(flat), k=16, trials=5,
                                          roundtrip=rt)
-    bytes_str = plan.operand_bytes()
     t_sol = bytes_str / config.hbm_bytes_per_s
     out.update({
         "elapsed_ms": round(elapsed * 1e3, 4),
