@@ -290,8 +290,23 @@ def measure_device_perf(a: CsrMatrix, b: CsrMatrix,
             # path exists to avoid — fall back to wall-clock reporting
             return None
         eplan = build_esc_plan(a, b, cap=config.element_cap)
-        ops = esc_transfer(esc_operands(eplan, a, b))
-        run = _esc_execute_jit()
+        if config.element_backend == "pallas":
+            import jax.numpy as jnp
+
+            from spada_tpu.ops.element_stream import (build_stream_layout,
+                                                      stream_execute_fn,
+                                                      stream_operands)
+
+            layout = build_stream_layout(eplan)
+            ops = tuple(
+                (jnp.asarray(av), jnp.asarray(bv))
+                for av, bv in stream_operands(layout, eplan, a, b))
+            run = stream_execute_fn(layout)
+            bytes_model = layout.operand_bytes()
+        else:
+            ops = esc_transfer(esc_operands(eplan, a, b))
+            run = _esc_execute_jit()
+            bytes_model = eplan.operand_bytes()
         flat = [x for pair in ops for x in pair]
         if not flat:
             return None
@@ -305,7 +320,6 @@ def measure_device_perf(a: CsrMatrix, b: CsrMatrix,
             return run(pairs)
 
         el = device_time(fn, tuple(flat), k=16, trials=3)
-        bytes_model = eplan.operand_bytes()
         return {
             "engine_s": el,
             "hbm_gbps": bytes_model / el / 1e9,
