@@ -19,6 +19,10 @@ adaptive planner would):
               launch overhead, not bandwidth)
   rmat        R-MAT n=32k deg 12 — Graph500 scale-free class, element
               engine (~0.7 GB streamed)
+  nn          block-pruned DNN weight (16384^2, 384-blocks, 20%) x
+              ReLU-sparse activations (16384x4096, 35%) — the reference's
+              NN workload category (py2rust.rs:62-97) in the tile
+              engine's long-run regime (runs avg ~8.6 vs banded's 1-3)
 
 Correctness gates: (a) stock workload cari (C = A·A^T) vs scipy; (b) each
 tile entry's *measured kernel* vs an f32 XLA oracle on device (readback is
@@ -98,7 +102,8 @@ def _spread_ms(samples):
             round(max(samples) * 1e3, 3)]
 
 
-def _tile_entry(name, a, b, config, T, rt, densify=False):
+def _tile_entry(name, a, b, config, T, rt, densify=False,
+                slots=(6, 10, 4, 6)):
     """Cached-kernel entry: gate on device vs f32 XLA, then device_time."""
     import jax
     import jax.numpy as jnp
@@ -125,10 +130,13 @@ def _tile_entry(name, a, b, config, T, rt, densify=False):
     at = jnp.asarray(a_bsr.tiles).astype(jnp.bfloat16)
     bt = jnp.asarray(b_bsr.tiles).astype(jnp.bfloat16)
 
-    # swept optimum at T=384 (tools/sweep_cached.py): small slot caches
-    # (band-local reuse), ogroup 6 amortizes the ~1.8us grid step, bf16 C
-    # writeback halves the C bytes (f32 accuracy kept by f32 accumulators)
-    a_slots, b_slots, depth, ogroup = 6, 10, 4, 6
+    # banded default (6,10,4,6) is the swept optimum at T=384
+    # (tools/sweep_cached.py): small slot caches (band-local reuse),
+    # ogroup 6 amortizes the ~1.8us grid step, bf16 C writeback halves the
+    # C bytes (f32 accuracy kept by f32 accumulators).  Entries with wider
+    # reuse windows (nn: every A row-panel tile is live across ~9-item
+    # runs x 11 C tiles) pass larger caches.
+    a_slots, b_slots, depth, ogroup = slots
     a_plan = plan_tile_cache(wl.a_tid, a_slots, depth)
     b_plan = plan_tile_cache(wl.b_tid, b_slots, depth)
     apk = jnp.asarray(_pack_plan(wl.a_tid, a_plan))
@@ -360,8 +368,9 @@ def main() -> int:
     from spada_tpu.config import SpadaConfig
     from spada_tpu.io.mtx import load_mtx
     from spada_tpu.io.workloads import (GemmWorkload, banded_csr,
-                                        banded_offset_csr,
-                                        localized_powerlaw_csr, rmat_csr)
+                                        banded_offset_csr, block_sparse_csr,
+                                        localized_powerlaw_csr,
+                                        relu_activation_csr, rmat_csr)
     from spada_tpu.ops.spgemm import spgemm
     from spada_tpu.utils.timing import measure_roundtrip
 
@@ -443,6 +452,16 @@ def main() -> int:
     a = rmat_csr(32768, 12.0, seed=1, dtype=np.float32)
     b = rmat_csr(32768, 12.0, seed=2, dtype=np.float32)
     entries.append(guard(_element_entry, "rmat", a, b, config, rt))
+
+    # NN category (the reference's second workload mode, py2rust.rs:62-97):
+    # block-pruned weight (16384^2, 384-blocks, 20% kept — structured
+    # magnitude pruning) x ReLU-sparse activation batch (35% dense).
+    # Long-run regime the rest of the suite lacks: W=4059 items over 473 C
+    # tiles (runs avg ~8.6), A panel reuse wants the wider cache
+    a = block_sparse_csr(16384, 16384, 384, 0.2, seed=5, dtype=np.float32)
+    b = relu_activation_csr(16384, 4096, 0.35, seed=6, dtype=np.float32)
+    entries.append(guard(_tile_entry, "nn", a, b, config, 384, rt,
+                         slots=(16, 24, 4, 6)))
 
     _second_pass(entries, config, rt)
     try:

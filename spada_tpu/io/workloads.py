@@ -299,6 +299,81 @@ def block_random_csr(
     return CsrMatrix.from_coo((n, n), rows[keep], cols[keep], vals)
 
 
+def block_sparse_csr(
+    m: int, n: int, block: int, block_density: float,
+    fill: float = 1.0, seed: int = 0, dtype=np.float32,
+) -> CsrMatrix:
+    """Block-sparse matrix: a random ``block_density`` fraction of
+    (block, block) tiles carry values, each ``fill``-dense inside.
+
+    The block-pruned NN weight class (structured magnitude pruning — see
+    models/nn_workloads.pruned_weight for the magnitude-scored variant),
+    generated directly in CSR form: no dense intermediate, uniform values
+    (standard_normal costs ~60x more host time at this scale and the
+    value distribution is irrelevant to structure benchmarks).
+    """
+    rng = np.random.default_rng(seed)
+    pr, pc = -(-m // block), -(-n // block)
+    nz = max(1, int(pr * pc * block_density))
+    sel = np.sort(rng.choice(pr * pc, size=nz, replace=False))
+    br, bc = sel // pc, sel % pc  # lexicographic (br, bc) by construction
+    if fill < 1.0:
+        # sampled interiors: small enough that the COO lexsort is cheap
+        per_block = block * block
+        cnt = max(1, int(per_block * fill))
+        flat = rng.integers(0, per_block, size=nz * cnt)
+        rows = np.repeat(br, cnt) * block + flat // block
+        cols = np.repeat(bc, cnt) * block + flat % block
+        keep = (rows < m) & (cols < n)
+        vals = ((rng.random(int(keep.sum()), dtype=np.float32) - 0.5)
+                .astype(dtype))
+        return CsrMatrix.from_coo((m, n), rows[keep], cols[keep], vals)
+    # dense blocks: assemble CSR directly (a from_coo lexsort over ~50M
+    # coordinates costs ~20x the O(nnz) gather below).  Blocks arrive
+    # sorted by (block-row, block-col), so each block-row's concatenated
+    # column span is already the sorted per-row index list; every row of
+    # the block-row repeats that segment.
+    bw = np.minimum(block, n - bc * block).astype(np.int64)  # edge clip
+    within = (np.arange(int(bw.sum()), dtype=np.int32)
+              - np.repeat((np.cumsum(bw) - bw).astype(np.int32), bw))
+    cols_once = np.repeat((bc * block).astype(np.int32), bw) + within
+    seg_len = np.zeros(pr, np.int64)
+    np.add.at(seg_len, br, bw)
+    seg_start = np.concatenate(([0], np.cumsum(seg_len)[:-1]))
+    row_h = np.minimum(block, m - np.arange(pr, dtype=np.int64) * block)
+    row_len = np.repeat(seg_len, row_h)  # length m
+    indptr = np.concatenate(([0], np.cumsum(row_len)))
+    # tile each block-row's segment over its rows (memcpy; the O(nnz)
+    # index-arithmetic formulation pays ~12s of page faults at 50M nnz)
+    parts = [np.tile(cols_once[seg_start[g]:seg_start[g] + seg_len[g]],
+                     int(row_h[g]))
+             for g in range(pr) if seg_len[g]]
+    indices = (np.concatenate(parts) if parts
+               else np.zeros(0, np.int32))
+    vals = (rng.random(int(indptr[-1]), dtype=np.float32) - 0.5).astype(dtype)
+    return CsrMatrix((m, n), indptr, indices, vals, check=False)
+
+
+def relu_activation_csr(
+    m: int, n: int, density: float, seed: int = 0, dtype=np.float32,
+) -> CsrMatrix:
+    """ReLU-sparse activation batch (uniformly scattered nonzeros) — the B
+    operand of the NN category's sparse-times-sparse GEMMs, built directly
+    in sparse form with uniform values (see :func:`block_sparse_csr`).
+
+    Bernoulli per-cell sparsity via a dense row-major mask whose nonzero
+    scan IS the sorted CSR order — no coordinate sort, ~1 s at 67M cells
+    (the sampled-COO + lexsort route costs ~15 s)."""
+    rng = np.random.default_rng(seed)
+    mask = rng.random((m, n), dtype=np.float32) < density
+    row_len = mask.sum(axis=1, dtype=np.int64)
+    indptr = np.concatenate(([0], np.cumsum(row_len)))
+    flat = np.flatnonzero(mask.reshape(-1))
+    indices = (flat % n).astype(np.int32)
+    vals = rng.random(len(flat), dtype=np.float32).astype(dtype)
+    return CsrMatrix((m, n), indptr, indices, vals, check=False)
+
+
 def localized_powerlaw_csr(
     m: int, n: int, avg_nnz_per_row: float, alpha: float = 1.8,
     window_frac: float = 0.02, hub_frac: float = 0.1, seed: int = 0,

@@ -179,3 +179,43 @@ def test_affinity_reordering_valid_permutation():
     )
     interleaved_adjacent = 0  # strictly alternating input has none
     assert same_comm_adjacent > 20 > interleaved_adjacent
+
+
+def test_block_sparse_csr_structure():
+    import numpy as np
+
+    from spada_tpu.io.workloads import block_sparse_csr
+
+    s = block_sparse_csr(100, 130, 16, 0.3, seed=1)
+    s.to_scipy().check_format(full_check=True)  # canonical CSR, no sort
+    d = s.todense()
+    pr, pc = -(-100 // 16), -(-130 // 16)
+    pad = np.zeros((pr * 16, pc * 16))
+    pad[:100, :130] = d
+    occ = (np.abs(pad.reshape(pr, 16, pc, 16).swapaxes(1, 2)) > 0
+           ).reshape(pr, pc, -1)
+    nzb, full = occ.any(-1), occ.all(-1)
+    interior = np.ones((pr, pc), bool)
+    interior[-1, :] = interior[:, -1] = False
+    # interior nonzero blocks are fully dense (edge blocks clip)
+    assert np.all(full[nzb & interior])
+    assert abs(nzb.sum() / (pr * pc) - 0.3) < 0.05
+    # deterministic per seed
+    s2 = block_sparse_csr(100, 130, 16, 0.3, seed=1)
+    assert np.array_equal(s2.indices, s.indices)
+    # sampled-fill path still canonical
+    f = block_sparse_csr(64, 64, 16, 0.5, fill=0.3, seed=2)
+    f.to_scipy().check_format(full_check=True)
+
+
+def test_relu_activation_csr():
+    import numpy as np
+
+    from spada_tpu.io.workloads import relu_activation_csr
+
+    r = relu_activation_csr(200, 300, 0.25, seed=2)
+    r.to_scipy().check_format(full_check=True)
+    assert abs(r.nnz / (200 * 300) - 0.25) < 0.02  # Bernoulli density
+    assert np.all(r.data >= 0) and np.all(r.data <= 1)
+    lens = r.row_lens()
+    assert lens.min() > 30  # no degenerate empty rows at this density
