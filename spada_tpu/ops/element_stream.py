@@ -142,7 +142,7 @@ def _mul_kernel(a_ref, b_ref, o_ref):
 
 
 def _red_kernel(a_ref, b_ref, o_ref):
-    o_ref[...] = jnp_sum(a_ref[...] * b_ref[...])
+    o_ref[...] = jnp_sum(a_ref[...] * b_ref[...])[None, :]
 
 
 # jnp is imported lazily (tests import this module on CPU-only workers)
@@ -177,13 +177,17 @@ def _class_runner(L: int, n_pad: int, rows: int, block: int,
             name="esc_stream_mul",
         )
     else:
+        # output is [1, n_pad] (flattened on host): a 1-D output would
+        # force the block width to the 1024-element tiling, while a
+        # leading dim of 1 matches the full shape and keeps the
+        # 128-granular blocks (padding <=0.5%) legal under Mosaic
         call = pl.pallas_call(
             _red_kernel,
             grid=(n_pad // block,),
             in_specs=[pl.BlockSpec((L, block), lambda i: (0, i)),
                       pl.BlockSpec((L, block), lambda i: (0, i))],
-            out_specs=pl.BlockSpec((block,), lambda i: (i,)),
-            out_shape=jax.ShapeDtypeStruct((n_pad,), jnp.float32),
+            out_specs=pl.BlockSpec((1, block), lambda i: (0, i)),
+            out_shape=jax.ShapeDtypeStruct((1, n_pad), jnp.float32),
             compiler_params=params,
             interpret=interpret,
             name=f"esc_stream_red{L}",

@@ -140,9 +140,12 @@ def main():
 
                 @jax.jit
                 def _relerr(x, y):
+                    # panel engine takes k-transposed A; the XLA oracle
+                    # takes natural tiles (transpose back on device)
                     c1 = eng(x, y).astype(jnp.float32)
                     c2 = run_worklist_xla(
-                        x.astype(jnp.float32), y.astype(jnp.float32),
+                        jnp.swapaxes(x, 1, 2).astype(jnp.float32),
+                        y.astype(jnp.float32),
                         jnp.asarray(wl.a_tid), jnp.asarray(wl.b_tid),
                         jnp.asarray(wl.o_tid), n_c_tiles=nC,
                         precision="highest")
