@@ -213,12 +213,14 @@ def _tile_entry(name, a, b, config, T, rt, densify=False,
 
 
 def _element_entry(name, a, b, config, rt, gate_rows=2048,
-                   backend="xla"):
+                   backend="pallas"):
     """Element/ESC entry: gate vs scipy on a row slice, then device_time.
 
-    ``backend``: 'xla' (fused elementwise executor) or 'pallas' (pipelined
-    stream executor, ops/element_stream — counted bytes include its <=0.5%
-    block padding)."""
+    ``backend``: 'pallas' (pipelined stream executor, ops/element_stream —
+    the default; measured 1.03 vs 1.20 ms on locpl-64k) or 'xla' (fused
+    elementwise executor).  %-of-SoL always counts the backend-independent
+    plan bytes, so the stream layout's <=0.5% block padding (reported via
+    ``stream_gbps``/``hbm_gb``) cannot inflate the score."""
     import jax.numpy as jnp
     import scipy.sparse as sp
 
@@ -249,6 +251,7 @@ def _element_entry(name, a, b, config, rt, gate_rows=2048,
         run = _esc_execute_jit()
         esc_map = plan.esc_to_csr
         bytes_str = plan.operand_bytes()
+    bytes_sol = plan.operand_bytes()   # backend-independent SoL basis
 
     # gate on rows [0, gate_rows): gather those chunks on device, read back
     # only the slice (full nnz(C) readback would be minutes over the tunnel)
@@ -282,17 +285,18 @@ def _element_entry(name, a, b, config, rt, gate_rows=2048,
 
     flat = [x for pair in ops for x in pair]
 
-    def fn(first, *rest):
-        xs = (first,) + rest
-        # perturb EVERY operand so no bucket hoists out of the timing loop
-        eps = (jnp.sum(first.reshape(-1)[:1]) * 1e-30).astype(first.dtype)
-        pairs = tuple((xs[2 * i] + eps, xs[2 * i + 1])
+    # no operand perturbation here: the timing harness carries every float
+    # operand through the loop itself (a caller-side `x + eps` gives the
+    # array two consumers and XLA materializes a phantom full-size pass —
+    # it cost this entry 1.79 vs 1.20 ms, tools/probe_harness_v2.py)
+    def fn(*xs):
+        pairs = tuple((xs[2 * i], xs[2 * i + 1])
                       for i in range(len(xs) // 2))
         return run(pairs)
 
     elapsed, samples = device_time_stats(fn, tuple(flat), k=16, trials=5,
                                          roundtrip=rt)
-    t_sol = bytes_str / config.hbm_bytes_per_s
+    t_sol = bytes_sol / config.hbm_bytes_per_s
     out.update({
         "elapsed_ms": round(elapsed * 1e3, 4),
         "spread_ms": _spread_ms(samples),
@@ -303,7 +307,8 @@ def _element_entry(name, a, b, config, rt, gate_rows=2048,
         "density_efficiency": round(plan.density_efficiency, 4),
         "relerr": round(float(err), 8),
     })
-    out["_retime"] = (fn, tuple(flat), {"sol_s": t_sol})
+    out["_retime"] = (fn, tuple(flat),
+                      {"sol_s": t_sol, "stream_bytes": bytes_str})
     return out
 
 
@@ -352,8 +357,9 @@ def _second_pass(entries, config, rt):
                 e["effective_gflops"] = round(
                     bounds["mxu_flops"] / el2 / 1e9, 1)
             if "stream_gbps" in e:
-                e["stream_gbps"] = round(
-                    bounds["sol_s"] * config.hbm_bytes_per_s / el2 / 1e9, 1)
+                sb = bounds.get("stream_bytes",
+                                bounds["sol_s"] * config.hbm_bytes_per_s)
+                e["stream_gbps"] = round(sb / el2 / 1e9, 1)
 
 
 def main() -> int:

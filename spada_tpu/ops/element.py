@@ -459,19 +459,33 @@ def _row_slab_bounds(a: CsrMatrix, b: CsrMatrix, max_products: int):
     return bounds
 
 
+def resolve_element_backend(backend: str) -> str:
+    """'auto' -> 'pallas' on TPU (measured faster: its cross-sublane class
+    reduces beat XLA's minor-dim reduces, 1.03 vs 1.20 ms on locpl-64k),
+    'xla' elsewhere (off-TPU pallas would run interpreted)."""
+    if backend == "auto":
+        import jax
+
+        return "pallas" if jax.default_backend() == "tpu" else "xla"
+    return backend
+
+
 def spgemm_element(a: CsrMatrix, b: CsrMatrix, cap: int = 512,
                    plan: Optional[EscPlan] = None,
                    dtype=np.float32, max_slab_products: int = 2**28,
-                   backend: str = "xla"):
+                   backend: str = "auto"):
     """One-call element-granular SpGEMM (plan + operands + execute).
 
     ``elapsed_s`` times the device execution only (transfer is a one-time
     format cost, like shipping BSR tiles).  Expansions larger than
     ``max_slab_products`` (default 2^28 ≈ 2.1 GB of f32 operands) stream
     through row slabs and return an :class:`EscSlabbedResult`.  ``backend``
-    picks the numeric executor: 'xla' (fused elementwise ops) or 'pallas'
-    (pipelined streaming kernels, :mod:`spada_tpu.ops.element_stream`).
+    picks the numeric executor: 'auto' (see
+    :func:`resolve_element_backend`), 'xla' (fused elementwise ops) or
+    'pallas' (pipelined streaming kernels,
+    :mod:`spada_tpu.ops.element_stream`).
     """
+    backend = resolve_element_backend(backend)
     if (plan is None and a.shape[0] > 1
             and expansion_products(a, b) > max_slab_products):
         bounds = _row_slab_bounds(a, b, max_slab_products)

@@ -289,8 +289,10 @@ def measure_device_perf(a: CsrMatrix, b: CsrMatrix,
             # plan here would allocate the very host/device memory the slab
             # path exists to avoid — fall back to wall-clock reporting
             return None
+        from spada_tpu.ops.element import resolve_element_backend
+
         eplan = build_esc_plan(a, b, cap=config.element_cap)
-        if config.element_backend == "pallas":
+        if resolve_element_backend(config.element_backend) == "pallas":
             import jax.numpy as jnp
 
             from spada_tpu.ops.element_stream import (build_stream_layout,
@@ -311,11 +313,10 @@ def measure_device_perf(a: CsrMatrix, b: CsrMatrix,
         if not flat:
             return None
 
-        def fn(first, *rest):
-            xs = (first,) + rest
-            # perturb every operand so no bucket hoists out of the loop
-            eps = (jnp.sum(first.reshape(-1)[:1]) * 1e-30).astype(first.dtype)
-            pairs = tuple((xs[2 * i] + eps, xs[2 * i + 1])
+        # operand perturbation is the timing harness's job (in-place on
+        # carried buffers); a caller-side add costs a phantom HBM pass
+        def fn(*xs):
+            pairs = tuple((xs[2 * i], xs[2 * i + 1])
                           for i in range(len(xs) // 2))
             return run(pairs)
 
@@ -388,12 +389,10 @@ def measure_device_perf(a: CsrMatrix, b: CsrMatrix,
         bytes_model += (wl.n_items * (tm_ * tk + tk * tn) * isz
                         + wl.n_c_tiles * tm_ * tn * 4)
 
-    def fn(first, *rest):
-        xs = (first,) + rest
-        eps = (jnp.sum(first.reshape(-1)[:1]) * 1e-30).astype(first.dtype)
+    def fn(*xs):
         total = jnp.float32(0.0)
         for i, (wl, _) in enumerate(metas):
-            c = run_worklist(wl, xs[2 * i] + eps, xs[2 * i + 1],
+            c = run_worklist(wl, xs[2 * i], xs[2 * i + 1],
                              precision=config.precision, engine=engine)
             total += jnp.sum(c).astype(jnp.float32)
         return total

@@ -45,22 +45,32 @@ def device_time_stats(
 ):
     """(median seconds, slope samples) per execution of ``fn(*args)``.
 
-    ``fn`` must accept its first argument perturbed by a traced scalar
-    (the loop-carry dependency): it is called as ``fn(args[0] + eps, *rest)``
-    where ``eps`` is a tiny traced scalar.  ``fn`` may return one array or
-    a pytree of arrays.  The median over ``trials`` of the two-point slope
-    rejects shared-pool interference spikes in either direction (a min
-    over slope samples could go negative under jitter); the raw samples
-    quantify that session's spread.
+    ``fn(*args) -> array or pytree``; do NOT perturb operands inside ``fn``
+    — the harness owns the loop-carry dependency (below).  The median over
+    ``trials`` of the two-point slope rejects shared-pool interference
+    spikes in either direction (a min over slope samples could go negative
+    under jitter); the raw samples quantify that session's spread.
 
-    The FULL output pytree is the fori_loop carry, with the next
-    iteration's perturbation derived from each carried leaf.  A scalar
-    ``sum(out)`` carry is not enough: XLA fuses the reduction into an
-    elementwise producer and never stores the output — a pure ``a*b``
-    microbenchmark "measured" 1147 GB/s on a 819 GB/s chip that way.
-    Carried leaves must be materialized every iteration, so output HBM
-    writes are timed like the real dispatch pays them.  (Pallas kernels
-    store internally either way; their numbers are unchanged by this.)
+    Loop-carry discipline (each rule removes a measured artifact):
+
+    * The FULL output pytree is the fori_loop carry.  A scalar
+      ``sum(out)`` carry is not enough: XLA fuses the reduction into an
+      elementwise producer and never stores the output — a pure ``a*b``
+      microbenchmark "measured" 1147 GB/s on a 819 GB/s chip that way.
+      Carried leaves must be materialized every iteration, so output HBM
+      writes are timed like the real dispatch pays them.
+    * EVERY float input is ALSO carried, perturbed by one in-place
+      element add per iteration (``a.at[0,...].add(eps)`` on a linearly
+      used loop carry compiles to an in-place scatter).  Perturbing only
+      the first arg lets XLA hoist every computation not reachable from
+      it out of the loop (a 10-class element executor "measured" 830 GB/s
+      that way); perturbing via a full-array ``a + eps`` cannot fuse into
+      a Pallas custom call and charged the tile engines a whole phantom
+      HBM pass over their operands (cached banded kernel: 2.41 ms with
+      the add, 1.97 ms with the in-place carry — probed A/B in
+      tools/probe_harness_v2.py).  Integer args (packed plans, index
+      maps) pass through untouched: every device computation reads at
+      least one float operand, which is enough loop dependence.
     """
     import jax
     import jax.numpy as jnp
@@ -80,21 +90,30 @@ def device_time_stats(
         return acc
 
     @functools.partial(jax.jit, static_argnames="K")
-    def runK(first, *rest, K=k):
-        out_shape = jax.eval_shape(fn, first, *rest)
+    def runK(*fargs, K=k):
+        out_shape = jax.eval_shape(fn, *fargs)
         init = jax.tree_util.tree_map(
             lambda s: jnp.zeros(s.shape, s.dtype), out_shape)
+        perturb = [i for i, a in enumerate(fargs)
+                   if hasattr(a, "dtype")
+                   and jnp.issubdtype(a.dtype, jnp.inexact) and a.size]
 
         def body(i, carry):
-            s, prev = carry
-            # cast the perturbation to the input dtype — adding a strong-f32
-            # scalar would silently promote bf16 inputs to f32 and change
-            # what is being measured
-            eps = ((s + _probe(prev)) * 1e-30).astype(first.dtype)
-            out = fn(first + eps, *rest)
-            return (_probe(out) * 1e-30, out)
+            s, fa, prev = carry
+            # cast per leaf — adding a strong-f32 scalar would silently
+            # promote bf16 inputs to f32 and change what is being measured
+            eps = (s + _probe(prev)) * 1e-30
+            fa = tuple(a.at[(0,) * a.ndim].add(eps.astype(a.dtype))
+                       for a in fa)
+            full = list(fargs)
+            for j, i_arg in enumerate(perturb):
+                full[i_arg] = fa[j]
+            out = fn(*full)
+            return (_probe(out) * 1e-30, fa, out)
 
-        s, out = jax.lax.fori_loop(0, K, body, (jnp.float32(0.0), init))
+        init_fa = tuple(fargs[i] for i in perturb)
+        s, _, out = jax.lax.fori_loop(0, K, body,
+                                      (jnp.float32(0.0), init_fa, init))
         return s + _probe(out) * 1e-30
 
     def run_once(kk):

@@ -60,3 +60,40 @@ def test_device_time_positive():
     x = jnp.ones((256, 256), jnp.float32)
     el = device_time(fn, (x,), k=4, trials=2, roundtrip=rt)
     assert el > 0
+
+
+def test_device_time_mixed_dtype_args():
+    """The harness perturbs float args in place on carried buffers and
+    passes integer args (packed plans, index maps) through untouched —
+    mixed signatures like the tile engines' must time cleanly, and a
+    pytree output (the element executors' per-class tuple) must too."""
+    import jax.numpy as jnp
+
+    from spada_tpu.utils.timing import device_time_stats, measure_roundtrip
+
+    rt = measure_roundtrip()
+
+    def fn(idx, xf, yb):
+        # gather by int plan + bf16 operand: both dtypes in one signature
+        return (jnp.take(xf, idx, axis=0) * 2.0,
+                yb.astype(jnp.float32) + 1.0)
+
+    idx = jnp.arange(64, dtype=jnp.int32)
+    xf = jnp.ones((64, 128), jnp.float32)
+    yb = jnp.ones((8, 128), jnp.bfloat16)
+    el, samples = device_time_stats(fn, (idx, xf, yb), k=4, trials=2,
+                                    roundtrip=rt)
+    assert el > 0 and len(samples) == 2
+
+
+def test_device_time_empty_float_arg():
+    import jax.numpy as jnp
+
+    from spada_tpu.utils.timing import device_time, measure_roundtrip
+
+    rt = measure_roundtrip()
+    z = jnp.zeros((0, 128), jnp.float32)
+    x = jnp.ones((32, 128), jnp.float32)
+    el = device_time(lambda z_, x_: (jnp.sum(z_), x_ * 3.0), (z, x),
+                     k=4, trials=2, roundtrip=rt)
+    assert el > 0

@@ -127,10 +127,9 @@ def time_element(a, b, rt):
     run = _esc_execute_jit()
     flat = [x for pair in ops for x in pair]
 
-    def fn(first, *rest):
-        xs = (first,) + rest
-        eps = (jnp.sum(first[:1]) * 1e-30).astype(first.dtype)
-        pairs = tuple((xs[2 * i] + eps, xs[2 * i + 1])
+    def fn(*xs):
+        # operand perturbation is the timing harness's job now
+        pairs = tuple((xs[2 * i], xs[2 * i + 1])
                       for i in range(len(xs) // 2))
         return run(pairs)
 
