@@ -121,6 +121,18 @@ def test_spgemm_element_backend_routing():
                                rtol=1e-4, atol=1e-4)
 
 
+def test_backend_auto_resolution():
+    """'auto' -> pallas on TPU, xla elsewhere (tests run on CPU)."""
+    import jax
+
+    from spada_tpu.ops.element import resolve_element_backend
+
+    expect = "pallas" if jax.default_backend() == "tpu" else "xla"
+    assert resolve_element_backend("auto") == expect
+    assert resolve_element_backend("xla") == "xla"
+    assert resolve_element_backend("pallas") == "pallas"
+
+
 def test_empty_plan():
     from spada_tpu.sparse.csr import CsrMatrix
 
