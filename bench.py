@@ -67,24 +67,29 @@ import numpy as np
 
 # The tunneled TPU runtime can wedge indefinitely (device-lease / remote
 # compile outages observed); the measurement runs in a child process under a
-# deadline so this script ALWAYS prints its one JSON line.
-_WATCHDOG_S = int(os.environ.get("SPADA_BENCH_TIMEOUT_S", "1500"))
+# deadline so this script ALWAYS prints its one JSON line.  Budget: the
+# shared pool's device-lease wait alone measured 250-550 s on busy days
+# (paid once, at the process's FIRST device sync — probed 2026-08-20:
+# scalar sync 466 s, then 16 MB readback 1.5 s), plus ~430-950 s for the
+# suite depending on compile-cache warmth.
+_WATCHDOG_S = int(os.environ.get("SPADA_BENCH_TIMEOUT_S", "2700"))
 
 
 def _watchdog_main() -> int:
     cmd = [sys.executable, os.path.abspath(__file__)]
     env = dict(os.environ, SPADA_BENCH_CHILD="1")
     try:
+        # stderr passes through live (stage marks must be visible when a
+        # run trips the watchdog); only stdout is captured for the JSON
         proc = subprocess.run(
-            cmd, env=env, capture_output=True, text=True,
+            cmd, env=env, stdout=subprocess.PIPE, text=True,
             timeout=_WATCHDOG_S,
         )
         out = [l for l in proc.stdout.splitlines() if l.startswith("{")]
         if out:
             print(out[-1])
             return 0
-        err = (proc.stderr or "").strip().splitlines()
-        reason = err[-1][:160] if err else f"exit {proc.returncode}"
+        reason = f"exit {proc.returncode}"
     except subprocess.TimeoutExpired:
         reason = f"device unresponsive (> {_WATCHDOG_S}s watchdog)"
     print(json.dumps({
@@ -92,6 +97,50 @@ def _watchdog_main() -> int:
         "vs_baseline": 0.0, "error": reason,
     }))
     return 1
+
+
+def _cached_workload(key, builder):
+    """Disk-cache generated CSR workloads (.bench_cache/<key>.npz).
+
+    Generation is deterministic (fixed seeds) but costs ~90 s across the
+    suite — real watchdog budget once the pool's lease wait is paid.  The
+    key encodes every generator parameter; bump _WLCACHE_V on generator
+    semantic changes."""
+    import spada_tpu  # noqa: F401  (repo root on path)
+    from spada_tpu.sparse.csr import CsrMatrix
+
+    path = os.path.join(_CACHE_ROOT, ".bench_cache",
+                        f"{_WLCACHE_V}-{key}.npz")
+    if os.path.exists(path):
+        z = np.load(path)
+        return CsrMatrix(tuple(z["shape"]), z["indptr"], z["indices"],
+                         z["data"])
+    m = builder()
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    tmp = path + ".tmp"
+    with open(tmp, "wb") as f:
+        np.savez(f, shape=np.asarray(m.shape), indptr=m.indptr,
+                 indices=m.indices, data=m.data)
+    os.replace(tmp, path)
+    return m
+
+
+_WLCACHE_V = "v1"
+_CACHE_ROOT = os.path.dirname(os.path.abspath(__file__))
+_T0 = None
+
+
+def _mark(msg):
+    """Stage timestamps on stderr (the stdout JSON contract is untouched) —
+    the 1500s watchdog budget is tight enough that per-stage wall time
+    must be visible when a run trips it."""
+    global _T0
+    import time as _time
+
+    if _T0 is None:
+        _T0 = _time.perf_counter()
+    print(f"[bench +{_time.perf_counter() - _T0:6.0f}s] {msg}",
+          file=sys.stderr, flush=True)
 
 
 def _spread_ms(samples):
@@ -116,6 +165,7 @@ def _tile_entry(name, a, b, config, T, rt, densify=False,
     from spada_tpu.utils.timing import device_time_stats
 
     out = {"name": name, "engine": "cached", "tile": T}
+    _mark(f"{name}: tile entry start")
     if densify:
         w = GemmWorkload(name, a, b)
         w2, dplan = w.preprocess_densified(config, tm=T, tk=T, tn=T)
@@ -175,13 +225,16 @@ def _tile_entry(name, a, b, config, T, rt, densify=False,
             c_ref = c_ref.at[oi[sl]].add(part)
         return (jnp.max(jnp.abs(c_perf - c_ref)) / jnp.max(jnp.abs(c_ref)))
 
+    _mark(f"{name}: worklist built (W={W}), gating")
     relerr = float(_relerr(at, bt))
     if not relerr < 2e-2:  # bf16 inputs, f32 accumulation
         out["error"] = f"kernel gate failed (relerr={relerr:.3e})"
         return out
 
+    _mark(f"{name}: gate ok, timing")
     elapsed, samples = device_time_stats(engine, (at, bt), k=16, trials=5,
                                          roundtrip=rt)
+    _mark(f"{name}: timed {elapsed*1e3:.3f} ms")
 
     isz = 2  # bf16 tiles
     c_bytes = nC * T * T * 2
@@ -229,7 +282,9 @@ def _element_entry(name, a, b, config, rt, gate_rows=2048,
     from spada_tpu.utils.timing import device_time_stats
 
     out = {"name": name, "engine": "element", "backend": backend}
+    _mark(f"{name}: element entry start")
     plan = build_esc_plan(a, b)
+    _mark(f"{name}: plan built (E={plan.n_products})")
     # f32 end-to-end: bf16 writeback is ~7% faster under honest timing
     # (1.68 vs 1.80 ms, locpl-64k) but halves the counted output bytes,
     # so the %-of-SoL metric drops; the entry keeps the exact-result f32
@@ -282,6 +337,7 @@ def _element_entry(name, a, b, config, rt, gate_rows=2048,
     if not err < 1e-3:
         out["error"] = f"element gate failed (relerr={err:.3e})"
         return out
+    _mark(f"{name}: gate ok, timing")
 
     flat = [x for pair in ops for x in pair]
 
@@ -296,6 +352,7 @@ def _element_entry(name, a, b, config, rt, gate_rows=2048,
 
     elapsed, samples = device_time_stats(fn, tuple(flat), k=16, trials=5,
                                          roundtrip=rt)
+    _mark(f"{name}: timed {elapsed*1e3:.3f} ms")
     t_sol = bytes_sol / config.hbm_bytes_per_s
     out.update({
         "elapsed_ms": round(elapsed * 1e3, 4),
@@ -382,6 +439,13 @@ def main() -> int:
 
     config = SpadaConfig()
     root = os.path.dirname(os.path.abspath(__file__))
+    _mark("imports done")
+
+    # pay the pool's device-lease wait (250-550 s on busy days) on a
+    # 4-byte sync up front, so every later stage mark times real work
+    if on_tpu:
+        rt0 = measure_roundtrip(n=1)
+        _mark(f"device lease acquired (first sync {rt0*1e3:.0f} ms)")
 
     # ---- correctness gate: cari (the reference's stock workload) ----
     w = GemmWorkload.from_matrix(
@@ -425,6 +489,7 @@ def main() -> int:
     # the per-matrix suite table)
     cari_detail = {"name": "cari", "engine": res.engine_used,
                    "in_median": False}
+    _mark("cari scipy gate done, timing cari engine")
     try:
         from spada_tpu.ops.spgemm import measure_device_perf
 
@@ -440,23 +505,37 @@ def main() -> int:
 
     entries = []
 
-    a = banded_csr(65536, 65536, bandwidth=384, seed=0, dtype=np.float32)
-    b = banded_csr(65536, 65536, bandwidth=384, seed=1, dtype=np.float32)
+    _mark("cari gates done, generating banded")
+    a = _cached_workload("banded-64k-384-s0", lambda: banded_csr(
+        65536, 65536, bandwidth=384, seed=0, dtype=np.float32))
+    b = _cached_workload("banded-64k-384-s1", lambda: banded_csr(
+        65536, 65536, bandwidth=384, seed=1, dtype=np.float32))
     entries.append(guard(_tile_entry, "banded", a, b, config, 384, rt))
 
-    a = banded_offset_csr(65536, 65536, 384, 192, seed=0, dtype=np.float32)
-    b = banded_offset_csr(65536, 65536, 384, 192, seed=1, dtype=np.float32)
+    _mark("generating banded_off")
+    a = _cached_workload("bandedoff-64k-384-192-s0", lambda: banded_offset_csr(
+        65536, 65536, 384, 192, seed=0, dtype=np.float32))
+    b = _cached_workload("bandedoff-64k-384-192-s1", lambda: banded_offset_csr(
+        65536, 65536, 384, 192, seed=1, dtype=np.float32))
     entries.append(guard(
         _tile_entry, "banded_off", a, b, config, 384, rt, densify=True))
 
     # avg degree 32: ~0.7 GB streamed, honestly HBM-bound (at deg 16 the
     # 0.34 ms execution is ~15% launch/ramp overhead)
-    a = localized_powerlaw_csr(65536, 65536, 32.0, seed=1, dtype=np.float32)
-    b = localized_powerlaw_csr(65536, 65536, 32.0, seed=2, dtype=np.float32)
+    _mark("generating locpl")
+    a = _cached_workload("locpl-64k-32-s1", lambda: localized_powerlaw_csr(
+        65536, 65536, 32.0, seed=1, dtype=np.float32))
+    b = _cached_workload("locpl-64k-32-s2", lambda: localized_powerlaw_csr(
+        65536, 65536, 32.0, seed=2, dtype=np.float32))
     entries.append(guard(_element_entry, "locpl", a, b, config, rt))
 
-    a = rmat_csr(32768, 12.0, seed=1, dtype=np.float32)
-    b = rmat_csr(32768, 12.0, seed=2, dtype=np.float32)
+    _mark("generating rmat")
+    a = _cached_workload("rmat-32k-12-s1",
+                         lambda: rmat_csr(32768, 12.0, seed=1,
+                                          dtype=np.float32))
+    b = _cached_workload("rmat-32k-12-s2",
+                         lambda: rmat_csr(32768, 12.0, seed=2,
+                                          dtype=np.float32))
     entries.append(guard(_element_entry, "rmat", a, b, config, rt))
 
     # NN category (the reference's second workload mode, py2rust.rs:62-97):
@@ -464,12 +543,17 @@ def main() -> int:
     # magnitude pruning) x ReLU-sparse activation batch (35% dense).
     # Long-run regime the rest of the suite lacks: W=4059 items over 473 C
     # tiles (runs avg ~8.6), A panel reuse wants the wider cache
-    a = block_sparse_csr(16384, 16384, 384, 0.2, seed=5, dtype=np.float32)
-    b = relu_activation_csr(16384, 4096, 0.35, seed=6, dtype=np.float32)
+    _mark("generating nn")
+    a = _cached_workload("nnblock-16k-384-p2-s5", lambda: block_sparse_csr(
+        16384, 16384, 384, 0.2, seed=5, dtype=np.float32))
+    b = _cached_workload("nnrelu-16k-4k-p35-s6", lambda: relu_activation_csr(
+        16384, 4096, 0.35, seed=6, dtype=np.float32))
     entries.append(guard(_tile_entry, "nn", a, b, config, 384, rt,
                          slots=(16, 24, 4, 6)))
 
+    _mark("second pass")
     _second_pass(entries, config, rt)
+    _mark("calibration")
     try:
         cal = _calibrate(rt)
     except Exception as e:

@@ -54,6 +54,27 @@ def test_second_pass_keeps_better_pct(monkeypatch):
     assert calls["n"] == 2
 
 
+def test_cached_workload_roundtrip(tmp_path, monkeypatch):
+    """Disk-cached workloads reload exactly and never re-call the builder."""
+    import os
+
+    import bench as bmod
+    from spada_tpu.io.workloads import banded_csr
+
+    monkeypatch.setattr(bmod, "_CACHE_ROOT", str(tmp_path))
+    m1 = bmod._cached_workload(
+        "t-wl", lambda: banded_csr(256, 256, bandwidth=16, seed=0,
+                                   dtype=np.float32))
+    m2 = bmod._cached_workload(
+        "t-wl", lambda: (_ for _ in ()).throw(
+            AssertionError("builder re-called on cache hit")))
+    assert m1.shape == m2.shape
+    assert np.array_equal(m1.indptr, m2.indptr)
+    assert np.array_equal(m1.indices, m2.indices)
+    assert np.array_equal(m1.data, m2.data)
+    assert os.path.exists(tmp_path / ".bench_cache" / "v1-t-wl.npz")
+
+
 def test_spread_ms_clamps_negative():
     assert bench._spread_ms([-0.001, 0.002]) == [0.0, 2.0]
     assert bench._spread_ms([0.001, 0.003]) == [1.0, 3.0]
