@@ -115,16 +115,28 @@ def time_worklist_panel(wl, a_tiles, b_tiles, rt):
 
 
 def time_element(a, b, rt):
-    """ESC element-engine seconds (the dispatch's scattered-structure path)."""
+    """ESC element-engine seconds (the dispatch's scattered-structure path,
+    with the backend the dispatch would actually run — pallas on TPU)."""
     import jax.numpy as jnp
 
     from spada_tpu.ops.element import (_esc_execute_jit, build_esc_plan,
-                                       esc_operands, esc_transfer)
+                                       esc_operands, esc_transfer,
+                                       resolve_element_backend)
     from spada_tpu.utils.timing import device_time
 
     plan = build_esc_plan(a, b)
-    ops = esc_transfer(esc_operands(plan, a, b))
-    run = _esc_execute_jit()
+    if resolve_element_backend("auto") == "pallas":
+        from spada_tpu.ops.element_stream import (build_stream_layout,
+                                                  stream_execute_fn,
+                                                  stream_operands)
+
+        layout = build_stream_layout(plan)
+        ops = tuple((jnp.asarray(av), jnp.asarray(bv))
+                    for av, bv in stream_operands(layout, plan, a, b))
+        run = stream_execute_fn(layout)
+    else:
+        ops = esc_transfer(esc_operands(plan, a, b))
+        run = _esc_execute_jit()
     flat = [x for pair in ops for x in pair]
 
     def fn(*xs):
