@@ -151,9 +151,22 @@ def _spread_ms(samples):
             round(max(samples) * 1e3, 3)]
 
 
-def _tile_entry(name, a, b, config, T, rt, densify=False,
-                slots=(6, 10, 4, 6)):
-    """Cached-kernel entry: gate on device vs f32 XLA, then device_time."""
+# per-tile-edge swept slot configs for the cached kernel (a_slots, b_slots,
+# depth, ogroup): T=512 wants ogroup=2 (1 MB f32 accumulator per group
+# member), T<=256 deeper caches (tools/sweep_cached.py)
+_SLOTS_BY_T = {128: (12, 24, 8, 8), 256: (12, 24, 8, 8),
+               384: (6, 10, 4, 6), 512: (6, 10, 4, 2)}
+
+
+def _tile_entry(name, a, b, config, T, rt, densify=False, slots=None):
+    """Cached-kernel entry: gate on device vs f32 XLA, then device_time.
+
+    ``T=None`` lets ``choose_tile_size`` pick the tile edge (the adaptive
+    planner's matrix-level decision, validated within 1% on this suite's
+    hardware sweep); the detail records the choice and the model column.
+    """
+    import dataclasses as _dc
+
     import jax
     import jax.numpy as jnp
 
@@ -164,8 +177,19 @@ def _tile_entry(name, a, b, config, T, rt, densify=False,
     from spada_tpu.sparse.bsr import BsrMatrix
     from spada_tpu.utils.timing import device_time_stats
 
-    out = {"name": name, "engine": "cached", "tile": T}
+    out = {"name": name, "engine": "cached"}
     _mark(f"{name}: tile entry start")
+    if T is None:
+        from spada_tpu.plan.planner import choose_tile_size
+
+        T, det = choose_tile_size(
+            a, b, _dc.replace(config, engine_dtype="bfloat16"))
+        out["tile_model_ms"] = {k: round(v["t_est"] * 1e3, 3)
+                                for k, v in det.items()}
+        out["tile_chosen_by"] = "planner"
+    out["tile"] = T
+    if slots is None:
+        slots = _SLOTS_BY_T[T]
     if densify:
         w = GemmWorkload(name, a, b)
         w2, dplan = w.preprocess_densified(config, tm=T, tk=T, tn=T)
@@ -180,12 +204,9 @@ def _tile_entry(name, a, b, config, T, rt, densify=False,
     at = jnp.asarray(a_bsr.tiles).astype(jnp.bfloat16)
     bt = jnp.asarray(b_bsr.tiles).astype(jnp.bfloat16)
 
-    # banded default (6,10,4,6) is the swept optimum at T=384
-    # (tools/sweep_cached.py): small slot caches (band-local reuse),
-    # ogroup 6 amortizes the ~1.8us grid step, bf16 C writeback halves the
-    # C bytes (f32 accuracy kept by f32 accumulators).  Entries with wider
-    # reuse windows (nn: every A row-panel tile is live across ~9-item
-    # runs x 11 C tiles) pass larger caches.
+    # slot configs per T are the swept optima (_SLOTS_BY_T); entries with
+    # wider reuse windows (nn: every A row-panel tile is live across
+    # ~9-item runs x 11 C tiles) pass larger caches explicitly
     a_slots, b_slots, depth, ogroup = slots
     a_plan = plan_tile_cache(wl.a_tid, a_slots, depth)
     b_plan = plan_tile_cache(wl.b_tid, b_slots, depth)
@@ -510,13 +531,18 @@ def main() -> int:
         65536, 65536, bandwidth=384, seed=0, dtype=np.float32))
     b = _cached_workload("banded-64k-384-s1", lambda: banded_csr(
         65536, 65536, bandwidth=384, seed=1, dtype=np.float32))
-    entries.append(guard(_tile_entry, "banded", a, b, config, 384, rt))
+    entries.append(guard(_tile_entry, "banded", a, b, config, None, rt))
 
     _mark("generating banded_off")
     a = _cached_workload("bandedoff-64k-384-192-s0", lambda: banded_offset_csr(
         65536, 65536, 384, 192, seed=0, dtype=np.float32))
     b = _cached_workload("bandedoff-64k-384-192-s1", lambda: banded_offset_csr(
         65536, 65536, 384, 192, seed=1, dtype=np.float32))
+    # pinned T=384: the densified layout at T=512 measures 2.83 ms against
+    # the aligned band's 1.74-1.85 ms with IDENTICAL W / unique loads /
+    # run histogram — an unexplained content-layout anomaly recorded in
+    # BENCH_NOTES ("densified-offset T=512 anomaly"); at 384 the densify
+    # win is clean (anchor192 restores aligned-band speed)
     entries.append(guard(
         _tile_entry, "banded_off", a, b, config, 384, rt, densify=True))
 

@@ -83,11 +83,16 @@ class SpadaConfig:
     # carry an inverse, so they only apply via preprocess_densified/CLI)
     densify: str = "auto"                # 'auto' | 'off'
 
-    # measured per-work-item kernel overhead by tile edge (v5e, cached
-    # engine) — the planner's tile-size cost model input
+    # measured per-work-item non-MXU overhead by tile edge (v5e, cached
+    # engine, honest harness — tools/probe_item_overhead.py; slot configs
+    # (12,24,8,8)/(12,24,8,8)/(6,10,4,6)/(6,10,4,2)).  The T=512 value is
+    # low because ogroup=2 keeps the f32 accumulators VMEM-cheap there.
+    # The previous values (0.15/0.49/1.26/2.49 us) were fitted under the
+    # old harness, whose phantom operand pass grew with tile bytes and
+    # biased the planner toward small T.
     engine_item_overhead_s: dict = dataclasses.field(
-        default_factory=lambda: {128: 0.15e-6, 256: 0.49e-6,
-                                 384: 1.26e-6, 512: 2.49e-6}
+        default_factory=lambda: {128: 0.18e-6, 256: 0.31e-6,
+                                 384: 0.72e-6, 512: 0.23e-6}
     )
     # per-item decomposition fitted to the same measurements (non-MXU part
     # scales with the f32 accumulate footprint tm*tn; see BENCH_NOTES.md):

@@ -363,15 +363,23 @@ def choose_tile_size(
 
     The reference adapts block shapes to sparsity structure cycle-by-cycle;
     on TPU the equivalent matrix-level decision is the tile granularity:
-    bigger tiles amortize the measured per-work-item overhead (~0.15us at
-    T=128, ~0.49us at T=256, ~1.26us at T=384 on v5e) but pay padding
-    bytes/FLOPs on sparse structure.  On band-aligned structure T=384 wins
-    decisively (1.93 ms vs 3.13 ms at T=256 on the bench workload) because
-    items-per-C-tile drops toward 1 and the f32 VMEM accumulate traffic
-    (the dominant per-item cost) is paid once per output tile.  Evaluated with the same closed-form byte/overhead model the
-    panel planner uses:
+    bigger tiles amortize the measured per-work-item overhead but pay
+    padding bytes/FLOPs on sparse structure.  Cost model (round-4,
+    validated within 1% on the banded-64k hardware sweep,
+    tools/probe_item_overhead.py):
 
-        t(T) = max(bytes(T) / BW,  W(T) * t_item(T),  2 W(T) T^3 / peak)
+        t(T) = max(unique_bytes(T) / BW,  mxu(T))  +  W(T) * t_item(T)
+
+    where unique_bytes counts each distinct nonzero A/B tile once (the
+    Belady cache gets reuse ~free at these working-set sizes) plus the C
+    writeback, mxu = 2 W T^3 / peak, and t_item is the measured per-item
+    non-MXU overhead (config.engine_item_overhead_s).  The overhead term
+    ADDS to the max of the streaming/compute bounds — the per-item
+    scalar->MXU->VPU chain does not overlap them (measured: predictions
+    5.02/3.05/1.98/1.82 ms vs 5.03/3.05/1.98/1.81 measured at
+    T=128/256/384/512).  An earlier max-of-three-terms model, fitted
+    under the old timing harness whose phantom operand pass grew with
+    tile bytes, systematically biased the choice toward small T.
 
     Returns (T, details dict).
     """
@@ -384,22 +392,21 @@ def choose_tile_size(
     for T in candidates:
         _, a_cols, _ = tiles_of_csr(a, T, T)
         b_rows_t, _, _ = tiles_of_csr(b, T, T)
+        n_a, n_b = len(a_cols), len(b_rows_t)
         b_fan = np.bincount(b_rows_t, minlength=-(-b.shape[0] // T))
         W = int(b_fan[a_cols].sum())
         # symbolic nC at this granularity is <= W; approximate with the
         # nnz-tile count of the (cheap) boolean product bound: use W as an
         # upper bound and the A-tile-row x B-tile-col grid as a floor
         n_c_est = min(W, (-(-a.shape[0] // T)) * (-(-b.shape[1] // T)))
-        bytes_moved = W * 2 * T * T * itemsize + n_c_est * T * T * 4
+        unique_bytes = (n_a + n_b + n_c_est) * T * T * itemsize
         t_item = config.engine_item_overhead_s.get(
-            T, 0.15e-6 * (T / 128) ** 1.5
+            T, 0.18e-6 * (T / 128) ** 1.5
         )
-        t = max(
-            bytes_moved / config.hbm_bytes_per_s,
-            W * t_item,
-            2 * W * T ** 3 / config.peak_flops_bf16,
-        )
-        details[T] = {"W": W, "bytes": bytes_moved, "t_est": t}
+        t = (max(unique_bytes / config.hbm_bytes_per_s,
+                 2 * W * T ** 3 / config.peak_flops_bf16)
+             + W * t_item)
+        details[T] = {"W": W, "bytes": unique_bytes, "t_est": t}
         if t < best_cost:
             best_cost, best_t = t, T
     return best_t, details
