@@ -4,7 +4,8 @@ The element path's large-scale capability (VERDICT r2 weak #8): expansions
 past the slab budget stream through independently-planned row slabs.  This
 runs loc-powerlaw n=131072 avg-32 (E ~ 1.2e8 products, nnz(C) ~ 1e8) with a
 forced 2^26-product budget, gates a row slice against scipy, and times each
-slab's device execution with the fenced timer.
+slab's device execution with the fenced timer, on the backend the dispatch
+would actually run (pallas stream on TPU).
 
 Run: python tools/bench_element_slab.py   (real TPU, ~2-4 min)
 """
@@ -17,19 +18,41 @@ os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/repo/.jax_cache")
 import numpy as np
 
 
+def _runner(plan, sub, b):
+    """(run, flat_operands, streamed_bytes, values_host) for the resolved
+    backend — no caller-side perturbation (the harness owns it)."""
+    import jax.numpy as jnp
+
+    from spada_tpu.ops.element import (_esc_runner, esc_operands,
+                                       esc_transfer, esc_values_host,
+                                       resolve_element_backend)
+
+    if resolve_element_backend("auto") == "pallas":
+        from spada_tpu.ops.element_stream import (build_stream_layout,
+                                                  stream_execute_fn,
+                                                  stream_operands,
+                                                  stream_values_host)
+
+        layout = build_stream_layout(plan)
+        ops = tuple((jnp.asarray(av), jnp.asarray(bv))
+                    for av, bv in stream_operands(layout, plan, sub, b))
+        return (stream_execute_fn(layout), ops, layout.operand_bytes(),
+                stream_values_host, layout.esc_to_csr)
+    ops = esc_transfer(esc_operands(plan, sub, b))
+    return (_esc_runner(), ops, plan.operand_bytes(), esc_values_host,
+            plan.esc_to_csr)
+
+
 def main():
     import jax
-    import jax.numpy as jnp
 
     jax.config.update(
         "jax_compilation_cache_dir", os.environ["JAX_COMPILATION_CACHE_DIR"]
     )
     from spada_tpu.config import SpadaConfig
     from spada_tpu.io.workloads import localized_powerlaw_csr
-    from spada_tpu.ops.element import (_esc_runner, _row_slab_bounds,
-                                       _slice_rows, build_esc_plan,
-                                       esc_operands, esc_transfer,
-                                       expansion_products)
+    from spada_tpu.ops.element import (_row_slab_bounds, _slice_rows,
+                                       build_esc_plan, expansion_products)
     from spada_tpu.utils.timing import device_time, measure_roundtrip
 
     config = SpadaConfig()
@@ -44,24 +67,19 @@ def main():
     print(f"n={n} E={E/1e6:.1f}M -> {len(bounds)-1} slabs "
           f"(budget {budget/1e6:.0f}M; gen {time.perf_counter()-t0:.1f}s)")
 
-    run = _esc_runner()
     total_el, total_bytes, total_nnz = 0.0, 0, 0
     for s, t in zip(bounds[:-1], bounds[1:]):
         sub = _slice_rows(a, s, t)
         plan = build_esc_plan(sub, b)
-        ops = esc_transfer(esc_operands(plan, sub, b))
+        run, ops, bts, _, _ = _runner(plan, sub, b)
         flat = [x for pair in ops for x in pair]
 
-        def fn(first, *rest):
-            xs = (first,) + rest
-            eps = (jnp.sum(first.reshape(-1)[:1]) * 1e-30).astype(
-                first.dtype)
-            pairs = tuple((xs[2 * i] + eps, xs[2 * i + 1])
+        def fn(*xs):
+            pairs = tuple((xs[2 * i], xs[2 * i + 1])
                           for i in range(len(xs) // 2))
             return run(pairs)
 
         el = device_time(fn, tuple(flat), k=16, trials=3, roundtrip=rt)
-        bts = plan.operand_bytes()
         total_el += el
         total_bytes += bts
         total_nnz += plan.nnz_c
@@ -78,11 +96,11 @@ def main():
 
     sub = _slice_rows(a, 0, 2048)
     plan = build_esc_plan(sub, b)
-    ops = esc_transfer(esc_operands(plan, sub, b))
-    vals = np.asarray(run(ops)).astype(np.float64)
+    run, ops, _, values_host, esc_map = _runner(plan, sub, b)
+    vals = values_host(run(ops)).astype(np.float64)
     data = np.zeros(plan.nnz_c, np.float64)
-    np.add.at(data, plan.esc_to_csr, vals)
-    got = sp.csr_matrix((data, plan.indices, plan.indptr),
+    np.add.at(data, esc_map, vals)
+    got = sp.csr_matrix((data[: plan.nnz_c], plan.indices, plan.indptr),
                         shape=plan.shape)
     ref = (a.to_scipy()[:2048] @ b.to_scipy()).tocsr()
     ref.sort_indices()
