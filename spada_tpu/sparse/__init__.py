@@ -1,4 +1,4 @@
 from spada_tpu.sparse.csr import CsrMatrix
-from spada_tpu.sparse.bsr import BsrMatrix, tiles_of_csr
+from spada_tpu.sparse.bsr import BsrMatrix, BsrValueMap, tiles_of_csr
 
-__all__ = ["CsrMatrix", "BsrMatrix", "tiles_of_csr"]
+__all__ = ["CsrMatrix", "BsrMatrix", "BsrValueMap", "tiles_of_csr"]

@@ -40,6 +40,68 @@ def tiles_of_csr(m: CsrMatrix, tm: int, tn: int):
 
 
 @dataclasses.dataclass
+class BsrValueMap:
+    """Precomputed CSR-data -> tile-payload scatter for one structure.
+
+    The device tile format, like the ESC operand layout, is built once per
+    SPARSITY STRUCTURE; refreshing values for the same structure (the
+    reference's NN mode — static pruning masks, per-batch activation
+    values, py2rust.rs:5-60) is then a single vectorized host scatter via
+    this map instead of a full ``from_csr`` rebuild (index sort + unique).
+    """
+
+    tm: int
+    tn: int
+    n_tiles: int
+    scat_tile: np.ndarray      # [nnz] int32 tile id per CSR data position
+    scat_r: np.ndarray         # [nnz] int16 in-tile row
+    scat_c: np.ndarray         # [nnz] int16 in-tile col
+    tile_col: np.ndarray
+    tile_rowptr: np.ndarray
+    nnz_per_tile: np.ndarray
+    dtype: object = np.float32
+
+    @classmethod
+    def from_structure(cls, m: CsrMatrix, tm: int, tn: int,
+                       dtype=np.float32) -> "BsrValueMap":
+        n_tile_rows = -(-m.shape[0] // tm)
+        n_tile_cols = -(-m.shape[1] // tn)
+        rows = np.repeat(np.arange(m.shape[0]), np.diff(m.indptr))
+        cols = m.indices.astype(np.int64)
+        key = (rows // tm) * n_tile_cols + cols // tn
+        uniq = np.unique(key)
+        tile_id = np.searchsorted(uniq, key).astype(np.int32)
+        n_tiles = len(uniq)
+        counts = np.zeros(max(n_tiles, 1), dtype=np.int64)
+        if len(rows):
+            np.add.at(counts, tile_id, 1)
+        tile_col = (uniq % n_tile_cols).astype(np.int32)
+        tile_rowptr = np.zeros(n_tile_rows + 1, dtype=np.int64)
+        np.add.at(tile_rowptr, (uniq // n_tile_cols) + 1, 1)
+        tile_rowptr = np.cumsum(tile_rowptr)
+        if n_tiles == 0:
+            tile_col = np.zeros(1, dtype=np.int32)
+            counts = np.zeros(1, dtype=np.int64)
+            # keep one explicit zero tile in row 0 so device arrays are
+            # nonempty
+            tile_rowptr = np.zeros(n_tile_rows + 1, dtype=np.int64)
+            tile_rowptr[1:] = 1
+        return cls(tm, tn, n_tiles, tile_id,
+                   (rows % tm).astype(np.int32), (cols % tn).astype(np.int32),
+                   tile_col, tile_rowptr, counts, dtype)
+
+    def fill(self, data: np.ndarray) -> np.ndarray:
+        """Scatter one CSR data array into a fresh [n_tiles, tm, tn] tile
+        payload (duplicates accumulate, matching CSR semantics)."""
+        tiles = np.zeros((max(self.n_tiles, 1), self.tm, self.tn),
+                         dtype=self.dtype)
+        if len(self.scat_tile):
+            np.add.at(tiles, (self.scat_tile, self.scat_r, self.scat_c),
+                      np.asarray(data).astype(self.dtype))
+        return tiles
+
+
+@dataclasses.dataclass
 class BsrMatrix:
     """Row-major block-sparse matrix with dense (tm, tn) tiles.
 
@@ -74,41 +136,14 @@ class BsrMatrix:
 
     @classmethod
     def from_csr(cls, m: CsrMatrix, tm: int, tn: int, dtype=np.float32) -> "BsrMatrix":
-        n_tile_rows = -(-m.shape[0] // tm)
-        n_tile_cols = -(-m.shape[1] // tn)
-        rows = np.repeat(np.arange(m.shape[0]), np.diff(m.indptr))
-        cols = m.indices.astype(np.int64)
-        trow = rows // tm
-        tcol = cols // tn
-        key = trow * n_tile_cols + tcol
-        order = np.argsort(key, kind="stable")
-        key_s = key[order]
-        uniq, inverse_first = np.unique(key_s, return_index=True)
-        # tile id for each nonzero (in sorted order)
-        tile_id_sorted = np.searchsorted(uniq, key_s)
-        n_tiles = len(uniq)
-        tiles = np.zeros((max(n_tiles, 1), tm, tn), dtype=dtype)
-        if len(rows):
-            in_tile_r = (rows % tm)[order]
-            in_tile_c = (cols % tn)[order]
-            np.add.at(
-                tiles, (tile_id_sorted, in_tile_r, in_tile_c), m.data[order].astype(dtype)
-            )
-        tile_col = (uniq % n_tile_cols).astype(np.int32)
-        tile_row = (uniq // n_tile_cols).astype(np.int64)
-        tile_rowptr = np.zeros(n_tile_rows + 1, dtype=np.int64)
-        np.add.at(tile_rowptr, tile_row + 1, 1)
-        tile_rowptr = np.cumsum(tile_rowptr)
-        counts = np.zeros(max(n_tiles, 1), dtype=np.int64)
-        if len(rows):
-            np.add.at(counts, tile_id_sorted, 1)
-        if n_tiles == 0:
-            tile_col = np.zeros(1, dtype=np.int32)
-            counts = np.zeros(1, dtype=np.int64)
-            # keep one explicit zero tile in row 0 so device arrays are nonempty
-            tile_rowptr = np.zeros(n_tile_rows + 1, dtype=np.int64)
-            tile_rowptr[1:] = 1
-        return cls((m.shape[0], m.shape[1]), tm, tn, tiles, tile_col, tile_rowptr, counts)
+        vm = BsrValueMap.from_structure(m, tm, tn, dtype=dtype)
+        return cls((m.shape[0], m.shape[1]), tm, tn, vm.fill(m.data),
+                   vm.tile_col, vm.tile_rowptr, vm.nnz_per_tile)
+
+    def refill(self, vm: "BsrValueMap", data: np.ndarray) -> "BsrMatrix":
+        """New BsrMatrix with fresh values through a prebuilt value map
+        (same structure; the tile metadata is shared, not copied)."""
+        return dataclasses.replace(self, tiles=vm.fill(data))
 
     def tile_rows(self) -> np.ndarray:
         """Expand tile_rowptr to a per-tile tile-row index."""

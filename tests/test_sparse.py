@@ -43,6 +43,42 @@ def test_bsr_occupancy_signal():
     assert b1.occupancy() > b2.occupancy()
 
 
+def test_bsr_value_map_refresh():
+    """Value refresh through a prebuilt map == full from_csr rebuild (the
+    reference's NN mode: static sparsity structure, per-batch values,
+    py2rust.rs:5-60)."""
+    from spada_tpu.io.workloads import powerlaw_csr
+    from spada_tpu.sparse.bsr import BsrMatrix, BsrValueMap
+
+    m = powerlaw_csr(300, 260, 6.0, seed=9, dtype=np.float32)
+    vm = BsrValueMap.from_structure(m, 64, 128)
+    b1 = BsrMatrix.from_csr(m, 64, 128)
+    np.testing.assert_array_equal(vm.fill(m.data), b1.tiles)
+
+    # refresh with new values: equals a from-scratch build on the new data
+    rng = np.random.default_rng(3)
+    new_data = rng.standard_normal(m.nnz).astype(np.float32)
+    m2 = type(m)(m.shape, m.indptr, m.indices, new_data)
+    b2 = b1.refill(vm, new_data)
+    ref = BsrMatrix.from_csr(m2, 64, 128)
+    np.testing.assert_array_equal(b2.tiles, ref.tiles)
+    # structure metadata shared/unchanged
+    np.testing.assert_array_equal(b2.tile_col, b1.tile_col)
+    np.testing.assert_array_equal(b2.tile_rowptr, b1.tile_rowptr)
+
+
+def test_bsr_value_map_empty():
+    from spada_tpu.sparse.csr import CsrMatrix
+    from spada_tpu.sparse.bsr import BsrMatrix, BsrValueMap
+
+    z = CsrMatrix((10, 10), np.zeros(11, np.int64), [], [])
+    vm = BsrValueMap.from_structure(z, 8, 8)
+    t = vm.fill(np.zeros(0, np.float32))
+    assert t.shape == (1, 8, 8) and not t.any()
+    b = BsrMatrix.from_csr(z, 8, 8)
+    np.testing.assert_array_equal(b.tiles, t)
+
+
 # ---- timing utility (CPU smoke; the TPU-specific behavior is documented
 # in BENCH_NOTES.md and exercised by bench.py) ----
 
