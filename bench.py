@@ -575,7 +575,7 @@ def main() -> int:
     b = _cached_workload("nnrelu-16k-4k-p35-s6", lambda: relu_activation_csr(
         16384, 4096, 0.35, seed=6, dtype=np.float32))
     entries.append(guard(_tile_entry, "nn", a, b, config, 384, rt,
-                         slots=(16, 24, 4, 6)))
+                         slots=(24, 36, 4, 6)))
 
     _mark("second pass")
     _second_pass(entries, config, rt)
