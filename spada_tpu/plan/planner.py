@@ -392,9 +392,14 @@ def choose_tile_size(
     for T in candidates:
         _, a_cols, _ = tiles_of_csr(a, T, T)
         b_rows_t, _, _ = tiles_of_csr(b, T, T)
-        n_a, n_b = len(a_cols), len(b_rows_t)
         b_fan = np.bincount(b_rows_t, minlength=-(-b.shape[0] // T))
         W = int(b_fan[a_cols].sum())
+        # count only tiles the worklist actually touches: A tiles whose k
+        # has B fanout, and B tiles in k-rows some A tile reaches — the
+        # full-n_b count overestimated the streaming bound on structures
+        # with partial A/B overlap and biased T selection (ADVICE round-4)
+        n_a = int((b_fan[a_cols] > 0).sum())
+        n_b = int(b_fan[np.unique(a_cols)].sum())
         # symbolic nC at this granularity is <= W; approximate with the
         # nnz-tile count of the (cheap) boolean product bound: use W as an
         # upper bound and the A-tile-row x B-tile-col grid as a floor

@@ -54,8 +54,8 @@ class BsrValueMap:
     tn: int
     n_tiles: int
     scat_tile: np.ndarray      # [nnz] int32 tile id per CSR data position
-    scat_r: np.ndarray         # [nnz] int16 in-tile row
-    scat_c: np.ndarray         # [nnz] int16 in-tile col
+    scat_r: np.ndarray         # [nnz] int32 in-tile row
+    scat_c: np.ndarray         # [nnz] int32 in-tile col
     tile_col: np.ndarray
     tile_rowptr: np.ndarray
     nnz_per_tile: np.ndarray
@@ -142,7 +142,18 @@ class BsrMatrix:
 
     def refill(self, vm: "BsrValueMap", data: np.ndarray) -> "BsrMatrix":
         """New BsrMatrix with fresh values through a prebuilt value map
-        (same structure; the tile metadata is shared, not copied)."""
+        (same structure; the tile metadata is shared, not copied).
+
+        Guards that ``vm`` was built for this matrix's tiling/structure —
+        a mismatched map would scatter into the wrong tiles silently."""
+        if (vm.tm != self.tm or vm.tn != self.tn
+                or max(vm.n_tiles, 1) != self.n_tiles
+                or len(data) != len(vm.scat_tile)):
+            raise ValueError(
+                f"value map mismatch: map is ({vm.tm}x{vm.tn}, "
+                f"{vm.n_tiles} tiles, nnz {len(vm.scat_tile)}) but matrix "
+                f"is ({self.tm}x{self.tn}, {self.n_tiles} tiles, "
+                f"data len {len(data)})")
         return dataclasses.replace(self, tiles=vm.fill(data))
 
     def tile_rows(self) -> np.ndarray:

@@ -78,6 +78,18 @@ def device_time_stats(
     if roundtrip is None:
         roundtrip = measure_roundtrip()
 
+    # the loop-carry discipline below assumes at least one FLOAT operand
+    # threads the iterations together; with none, fn's inputs are
+    # loop-invariant and XLA hoists the whole computation out of the loop —
+    # the harness would silently "measure" near-zero (ADVICE round-4)
+    if not any(hasattr(a, "dtype") and jnp.issubdtype(a.dtype, jnp.inexact)
+               and getattr(a, "size", 0) for a in args):
+        raise ValueError(
+            "device_time_stats needs at least one non-empty float operand "
+            "in args to carry the loop dependency; an all-integer "
+            "signature would be hoisted out of the timing loop and "
+            "measure nothing")
+
     def _probe(out):
         # one element per leaf: cheap, but keeps every carried leaf live
         # (XLA's while-loop simplifier removes only fully-dead carry slots)

@@ -78,3 +78,75 @@ def test_cached_workload_roundtrip(tmp_path, monkeypatch):
 def test_spread_ms_clamps_negative():
     assert bench._spread_ms([-0.001, 0.002]) == [0.0, 2.0]
     assert bench._spread_ms([0.001, 0.003]) == [1.0, 3.0]
+
+
+def test_second_pass_updates_pct_binding(monkeypatch):
+    import spada_tpu.utils.timing as timing
+
+    monkeypatch.setattr(timing, "device_time_stats",
+                        lambda *a, **k: (0.001, [0.001]))
+    entries = [
+        {   # tile entry: binding recomputed from sol_belady, capped at 100
+            "name": "t", "pct_sol": 40.0, "pct_binding": 20.0,
+            "elapsed_ms": 2.0, "pct_sol_belady": 20.0,
+            "effective_gflops": 1.0,
+            "_retime": (lambda *a: None, (), {
+                "sol_s": 0.0008, "sol_belady_s": 0.0004,
+                "mxu_flops": 2e9}),
+        },
+        {   # element entry: binding == capped pct_sol
+            "name": "e", "pct_sol": 50.0, "pct_binding": 50.0,
+            "elapsed_ms": 2.4, "stream_gbps": 400.0,
+            "_retime": (lambda *a: None, (), {"sol_s": 0.0012}),
+        },
+    ]
+    bench._second_pass(entries, SpadaConfig(), rt=0.03)
+    assert entries[0]["pct_binding"] == 40.0
+    assert entries[1]["pct_sol"] == 120.0     # naive can exceed 100...
+    assert entries[1]["pct_binding"] == 100.0  # ...binding is capped
+
+
+def test_summarize_compact_and_parseable():
+    """The stdout line must parse and stay compact (the driver's record);
+    the bulk goes to the detail dict."""
+    import json
+
+    entries = [
+        {"name": "w1", "engine": "cached", "elapsed_ms": 2.0,
+         "pct_sol": 105.0, "pct_binding": 88.0,
+         "densify_w_model": {"big": list(range(100))}},
+        {"name": "w2", "engine": "element", "elapsed_ms": 1.0,
+         "pct_sol": 83.0, "pct_binding": 83.0},
+        {"name": "w3", "engine": "cached", "elapsed_ms": 3.0,
+         "pct_sol": 90.0, "pct_binding": 68.0},
+        {"name": "w4", "error": "entry failed: infra " + "x" * 300},
+    ]
+    summary, detail = bench._summarize(entries, {"name": "cari"},
+                                       {"cal_r2w1_gbps": 650.0}, "tpu")
+    line = json.dumps(summary)
+    parsed = json.loads(line)
+    assert parsed["metric"] == "spgemm_pct_binding"
+    assert parsed["value"] == 83.0          # median of pct_binding
+    assert parsed["value_naive"] == 90.0    # median of pct_sol
+    assert parsed["vs_baseline"] == round(83.0 / 70.0, 4)
+    assert len(line) < 4000                 # compact: parser-safe
+    assert len(parsed["suite"]) == 4
+    assert parsed["suite"][3]["error"].startswith("entry failed")
+    assert detail["suite"][0]["densify_w_model"]["big"][99] == 99
+
+
+def test_summarize_gate_failure_zeroes():
+    entries = [
+        {"name": "w1", "pct_sol": 90.0, "pct_binding": 80.0},
+        {"name": "w2", "pct_sol": 85.0, "pct_binding": 75.0},
+        {"name": "w3", "pct_sol": 80.0, "pct_binding": 70.0},
+        {"name": "bad", "error": "kernel gate failed (relerr=1e-1)"},
+    ]
+    summary, _ = bench._summarize(entries, {}, {}, "tpu")
+    assert summary["value"] == 0.0
+    assert summary["value_naive"] == 0.0
+
+    # infra failure with >=3 survivors keeps the median
+    entries[3] = {"name": "w4", "error": "entry failed: pool wedge"}
+    summary, _ = bench._summarize(entries, {}, {}, "tpu")
+    assert summary["value"] == 75.0
