@@ -574,6 +574,16 @@ def _make_cached_kernel(n_items: int, n_groups: int, depth: int, ogroup: int,
                 def _(lo=lo, j=j):
                     do_item(lo, j, acc, store=True)
 
+                # empty runs (lo == hi) must emit a true zero tile: the
+                # distributed per-round launches (parallel/halo.py) have
+                # INTERIOR zero-item tiles whose output is summed, not
+                # sliced off.  Dense single-chip schedules never take this
+                # branch (every real C tile has >= 1 item), so the
+                # flagship path pays only the predicate.
+                @pl.when(hi == lo)
+                def _(j=j):
+                    acc[j] = jnp.zeros_like(acc[j])
+
                 if uitems <= 1:
                     def body(w, _, j=j):
                         do_item(w, j, acc, store=False)

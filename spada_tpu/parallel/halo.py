@@ -260,22 +260,9 @@ def _engine_acc(c, a_tid, b_tid, o_tid, a_tiles, b_tiles, chunk, precision):
     return c
 
 
-def spgemm_halo(problem: HaloProblem, mesh: Optional[Mesh] = None,
-                chunk: int = 1024,
-                precision=jax.lax.Precision.HIGHEST):
-    """Execute: ppermute the B-tile halo rounds, overlapped with local work.
-
-    All D-1 permutes are issued before any compute (they depend only on the
-    resident B tiles); the segment-ordered worklist then lets XLA run the
-    local segment while the ICI transfers are in flight.
-    """
-    from spada_tpu.parallel.spgemm import ShardedResult
-
-    p = problem
+def _halo_xla(p: HaloProblem, mesh: Mesh, chunk: int, precision):
+    """Portable per-shard engine: XLA chunked scatter-add per segment."""
     D = p.n_dev
-    if mesh is None:
-        devs = np.array(jax.devices()[:D])
-        mesh = Mesh(devs, ("dp",))
 
     def per_shard(a_tid, b_tid, o_tid, a_tiles, b_tiles, *send_idx):
         a_tid, b_tid, o_tid = a_tid[0], b_tid[0], o_tid[0]
@@ -307,11 +294,125 @@ def spgemm_halo(problem: HaloProblem, mesh: Optional[Mesh] = None,
         in_specs=(P("dp"),) * 5 + (P("dp"),) * (D - 1),
         out_specs=P("dp"),
     )
-    c = jax.jit(fn)(
+    return jax.jit(fn)(
         jnp.asarray(p.a_tid), jnp.asarray(p.b_tid), jnp.asarray(p.o_tid),
         jnp.asarray(p.a_tiles), jnp.asarray(p.b_tiles),
         *[jnp.asarray(s) for s in p.send_idx],
     )
+
+
+def _halo_cached(p: HaloProblem, mesh: Mesh, cached_slots, engine_dtype,
+                 interpret):
+    """Flagship cached Pallas kernel per worklist segment.
+
+    One launch per source round, each with its own o-sorted worklist and
+    Belady VMEM plan (host-built, parallel/cached.py); the round partials
+    sum into C.  Tiles ride bf16 (engine dtype), so the ppermuted halo
+    also ships bf16 — half the ICI bytes of the f32 XLA path.
+    """
+    from spada_tpu.ops.engine import _on_tpu, _run_pallas_cached
+    from spada_tpu.parallel.cached import build_cached_plans
+
+    D = p.n_dev
+    if interpret is None:
+        interpret = not _on_tpu()
+    dtype = engine_dtype or jnp.bfloat16
+    a_sl, b_sl, depth, ogroup = cached_slots
+    plans = [
+        build_cached_plans(
+            p.a_tid[:, p.seg_ptr[r]:p.seg_ptr[r + 1]],
+            p.b_tid[:, p.seg_ptr[r]:p.seg_ptr[r + 1]],
+            p.o_tid[:, p.seg_ptr[r]:p.seg_ptr[r + 1]],
+            p.nCmax, a_slots=a_sl, b_slots=b_sl, depth=depth,
+            ogroup=ogroup,
+        )
+        for r in range(D)
+    ]
+
+    def per_shard(a_tiles, b_tiles, *rest):
+        send_idx, plan_args = rest[: D - 1], rest[D - 1:]
+        at, bl = a_tiles[0], b_tiles[0]
+        recvs = []
+        for r in range(1, D):
+            out = bl[send_idx[r - 1][0]]
+            recvs.append(jax.lax.ppermute(
+                out, "dp", [(s, (s + r) % D) for s in range(D)]
+            ))
+        zero = jnp.zeros((1, p.tk, p.tn), bl.dtype)
+
+        def seg(r, buf):
+            pl_ = plans[r]
+            tp_, ap_, bp_ = plan_args[3 * r: 3 * r + 3]
+            return _run_pallas_cached(
+                tp_[0], ap_[0], bp_[0], at, buf,
+                n_c_tiles=pl_.n_c_tiles, a_slots=pl_.a_slots,
+                b_slots=pl_.b_slots, depth=pl_.depth, ogroup=pl_.ogroup,
+                interpret=interpret, precision="default",
+                out_dtype=jnp.float32,
+            )
+
+        # local segment first: no dependence on the in-flight transfers
+        c = seg(0, bl)
+        for r in range(1, D):
+            c = c + seg(r, jnp.concatenate([recvs[r - 1], zero], axis=0))
+        return c[None]
+
+    plan_flat = [x for pl_ in plans
+                 for x in (pl_.tile_ptr, pl_.a_pk, pl_.b_pk)]
+    fn = jax.shard_map(
+        per_shard,
+        mesh=mesh,
+        in_specs=(P("dp"),) * (2 + (D - 1) + 3 * D),
+        out_specs=P("dp"),
+        # pallas_call's out ShapeDtypeStruct carries no varying-mesh-axes
+        # annotation, so the vma checker cannot see through it
+        check_vma=False,
+    )
+    return jax.jit(fn)(
+        jnp.asarray(p.a_tiles).astype(dtype),
+        jnp.asarray(p.b_tiles).astype(dtype),
+        *[jnp.asarray(s) for s in p.send_idx],
+        *[jnp.asarray(x) for x in plan_flat],
+    )
+
+
+def spgemm_halo(problem: HaloProblem, mesh: Optional[Mesh] = None,
+                chunk: int = 1024,
+                precision=jax.lax.Precision.HIGHEST,
+                engine: str = "auto",
+                cached_slots=(6, 10, 4, 6),
+                engine_dtype=None,
+                interpret: Optional[bool] = None):
+    """Execute: ppermute the B-tile halo rounds, overlapped with local work.
+
+    All D-1 permutes are issued before any compute (they depend only on the
+    resident B tiles); the segment-ordered worklist then lets XLA run the
+    local segment while the ICI transfers are in flight.
+
+    ``engine``: ``'cached'`` runs the flagship Pallas VMEM-cached kernel
+    per worklist segment (bf16 tiles — the halo rounds then also ship
+    bf16 over ICI, halving the exchanged bytes); ``'xla'`` the portable
+    f32 scatter-add; ``'auto'`` cached on TPU, xla elsewhere.  The cached
+    variant launches one kernel per source round (each with its own
+    o-sorted Belady plan) and sums the partial C tiles — the per-round
+    launch keeps the local segment free of any dependence on the
+    in-flight transfers, preserving the overlap structure.
+    """
+    from spada_tpu.ops.engine import _on_tpu
+    from spada_tpu.parallel.spgemm import ShardedResult
+
+    p = problem
+    D = p.n_dev
+    if mesh is None:
+        devs = np.array(jax.devices()[:D])
+        mesh = Mesh(devs, ("dp",))
+    if engine == "auto":
+        engine = "cached" if _on_tpu() else "xla"
+
+    if engine == "cached":
+        c = _halo_cached(p, mesh, cached_slots, engine_dtype, interpret)
+    else:
+        c = _halo_xla(p, mesh, chunk, precision)
 
     # adapt to ShardedResult's (n_dp, nCmax+1, ...) surface: fake tp dim
     class _P:

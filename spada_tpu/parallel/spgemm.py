@@ -101,21 +101,37 @@ class ShardedResult:
         )
 
 
+def _merge_tp(c, mesh: Mesh, merge: str):
+    """Combine the tp shards' k-partial C tiles over the mesh.
+
+    ``'reduce_scatter'`` moves (tp-1)/tp of the C bytes once and leaves
+    each tp rank holding a tile-range shard (reassembled by the out
+    spec); ``'psum'`` all-reduces (2x the bytes) and replicates C over
+    tp.  Both are the distributed merge-task graph (scheduler.rs:381-480)
+    as an ICI collective.
+    """
+    n_tp = mesh.shape["tp"]
+    if merge == "reduce_scatter" and n_tp > 1:
+        pad = (-c.shape[0]) % n_tp
+        if pad:
+            c = jnp.concatenate(
+                [c, jnp.zeros((pad,) + c.shape[1:], c.dtype)]
+            )
+        return jax.lax.psum_scatter(c, "tp", scatter_dimension=0,
+                                    tiled=True)
+    return jax.lax.psum(c, axis_name="tp")
+
+
 def make_sharded_fn(mesh: Mesh, n_c_tiles: int, chunk: int = 1024,
                     precision=jax.lax.Precision.HIGHEST,
                     merge: str = "reduce_scatter"):
-    """Build the jitted shard_map SpGEMM for a given mesh and C-tile count.
+    """Build the jitted shard_map SpGEMM (XLA scatter engine per shard).
 
     The returned fn takes the stacked per-shard arrays of
     :class:`ShardedProblem` and returns C tiles [n_dp, >=n_c_tiles+1, tm,
-    tn] (slice to ``n_c_tiles`` + dump slot).
-
-    ``merge``: how the tp shards' k-partial C tiles combine —
-    ``'reduce_scatter'`` (default) moves (tp-1)/tp of the C bytes once and
-    leaves each tp rank holding a tile-range shard (reassembled by the out
-    spec); ``'psum'`` all-reduces (2x the bytes) and replicates C over tp.
-    Both are the distributed merge-task graph (scheduler.rs:381-480) as an
-    ICI collective.
+    tn] (slice to ``n_c_tiles`` + dump slot).  See :func:`_merge_tp` for
+    the ``merge`` choices.  For the fast per-shard engine (the flagship
+    Pallas cached kernel) use :func:`make_sharded_cached_fn`.
     """
     n_tp = mesh.shape["tp"]
 
@@ -126,17 +142,7 @@ def make_sharded_fn(mesh: Mesh, n_c_tiles: int, chunk: int = 1024,
             a_tiles[0, 0], b_tiles[0, 0],
             n_c_tiles=n_c_tiles, chunk=chunk, precision=precision,
         )
-        if merge == "reduce_scatter" and n_tp > 1:
-            pad = (-c.shape[0]) % n_tp
-            if pad:
-                c = jnp.concatenate(
-                    [c, jnp.zeros((pad,) + c.shape[1:], c.dtype)]
-                )
-            c = jax.lax.psum_scatter(c, "tp", scatter_dimension=0,
-                                     tiled=True)
-        else:
-            c = jax.lax.psum(c, axis_name="tp")
-        return c[None]
+        return _merge_tp(c, mesh, merge)[None]
 
     out_tp = merge == "reduce_scatter" and n_tp > 1
     fn = jax.shard_map(
@@ -151,23 +157,105 @@ def make_sharded_fn(mesh: Mesh, n_c_tiles: int, chunk: int = 1024,
     return jax.jit(fn)
 
 
+def make_sharded_cached_fn(mesh: Mesh, plans, merge: str = "reduce_scatter",
+                           interpret: bool = False,
+                           precision: str = "default"):
+    """shard_map SpGEMM running the flagship cached Pallas kernel per shard.
+
+    ``plans`` is a :class:`~spada_tpu.parallel.cached.CachedShardPlans`
+    built from the problem's worklists (static host-side data); each
+    device executes its own o-sorted worklist with its own Belady VMEM
+    cache plan — the single-chip engine, unchanged, inside the
+    distributed program (VERDICT round-4 item 2; the reference's per-PE
+    datapath sharing one cache, simulator.rs:473-497, lifted to chips).
+
+    The returned fn takes (tile_ptr, a_pk, b_pk, a_tiles, b_tiles) with
+    leading [n_dp, n_tp] dims; tiles should already be in the engine
+    dtype (bf16 for the flagship config).  Output layout matches
+    :func:`make_sharded_fn` (dump slot at index ``plans.n_c_tiles - 1``).
+    """
+    from spada_tpu.ops.engine import _run_pallas_cached
+
+    n_tp = mesh.shape["tp"]
+
+    def per_shard(tile_ptr, a_pk, b_pk, a_tiles, b_tiles):
+        c = _run_pallas_cached(
+            tile_ptr[0, 0], a_pk[0, 0], b_pk[0, 0],
+            a_tiles[0, 0], b_tiles[0, 0],
+            n_c_tiles=plans.n_c_tiles, a_slots=plans.a_slots,
+            b_slots=plans.b_slots, depth=plans.depth, ogroup=plans.ogroup,
+            interpret=interpret, precision=precision,
+            out_dtype=jnp.float32,
+        )
+        return _merge_tp(c, mesh, merge)[None]
+
+    out_tp = merge == "reduce_scatter" and n_tp > 1
+    fn = jax.shard_map(
+        per_shard,
+        mesh=mesh,
+        in_specs=(P("dp", "tp"),) * 5,
+        out_specs=P("dp", "tp") if out_tp else P("dp"),
+        # pallas_call's out ShapeDtypeStruct carries no varying-mesh-axes
+        # annotation, so the vma checker cannot see through it
+        check_vma=False,
+    )
+    return jax.jit(fn)
+
+
 def spgemm_sharded(
     problem: ShardedProblem,
     mesh: Optional[Mesh] = None,
     chunk: int = 1024,
     merge: str = "reduce_scatter",
+    engine: str = "auto",
+    cached_slots=(6, 10, 4, 6),
+    engine_dtype=None,
+    interpret: Optional[bool] = None,
 ) -> ShardedResult:
-    """Execute a partitioned SpGEMM over the mesh (default: all devices)."""
+    """Execute a partitioned SpGEMM over the mesh (default: all devices).
+
+    ``engine``: ``'cached'`` runs the flagship Pallas VMEM-cached kernel
+    on every shard (bf16 tiles, f32 accumulation — the single-chip
+    flagship configuration); ``'xla'`` runs the portable f32 HIGHEST
+    scatter-add engine; ``'auto'`` picks cached on TPU, xla elsewhere
+    (off-TPU the cached kernel would run in interpret mode — correct but
+    orders of magnitude slower, so it must be requested explicitly).
+    """
+    from spada_tpu.ops.engine import _on_tpu
+
+    if engine == "auto":
+        engine = "cached" if _on_tpu() else "xla"
     if mesh is None:
         devs = np.array(jax.devices()[: problem.n_dp * problem.n_tp])
         mesh = Mesh(devs.reshape(problem.n_dp, problem.n_tp), ("dp", "tp"))
-    fn = make_sharded_fn(mesh, n_c_tiles=problem.nCmax, chunk=chunk,
-                         merge=merge)
-    c = fn(
-        jnp.asarray(problem.a_tid), jnp.asarray(problem.b_tid),
-        jnp.asarray(problem.o_tid), jnp.asarray(problem.a_tiles),
-        jnp.asarray(problem.b_tiles),
-    )
+
+    if engine == "cached":
+        from spada_tpu.parallel.cached import build_cached_plans
+
+        if interpret is None:
+            interpret = not _on_tpu()
+        dtype = engine_dtype or jnp.bfloat16
+        a_sl, b_sl, depth, ogroup = cached_slots
+        plans = build_cached_plans(
+            problem.a_tid, problem.b_tid, problem.o_tid, problem.nCmax,
+            a_slots=a_sl, b_slots=b_sl, depth=depth, ogroup=ogroup,
+        )
+        fn = make_sharded_cached_fn(mesh, plans, merge=merge,
+                                    interpret=interpret)
+        c = fn(
+            jnp.asarray(plans.tile_ptr), jnp.asarray(plans.a_pk),
+            jnp.asarray(plans.b_pk),
+            jnp.asarray(problem.a_tiles).astype(dtype),
+            jnp.asarray(problem.b_tiles).astype(dtype),
+        )
+    else:
+        fn = make_sharded_fn(mesh, n_c_tiles=problem.nCmax, chunk=chunk,
+                             merge=merge)
+        c = fn(
+            jnp.asarray(problem.a_tid), jnp.asarray(problem.b_tid),
+            jnp.asarray(problem.o_tid), jnp.asarray(problem.a_tiles),
+            jnp.asarray(problem.b_tiles),
+        )
     # reduce_scatter pads the tile dim to a multiple of tp; drop the pad
     # (the dump slot at index nCmax stays)
     c = np.asarray(c)[:, : problem.nCmax + 1]

@@ -155,3 +155,70 @@ def test_reduce_scatter_merge_equals_psum():
                                rtol=1e-6, atol=1e-6)
     ref = np.asarray((a.to_scipy() @ b.to_scipy()).todense())
     np.testing.assert_allclose(r_rs.todense(), ref, rtol=1e-4, atol=1e-4)
+
+
+# ---- flagship cached Pallas kernel inside the distributed program ----
+# (VERDICT round-4 item 2: per-shard o-sorted worklists + Belady plans,
+#  the single-chip engine unchanged inside shard_map)
+
+def test_sharded_cached_matches_scipy():
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 devices")
+    a = random_csr(300, 260, 0.05, seed=31)
+    b = random_csr(260, 310, 0.06, seed=32)
+    prob = partition_spgemm(a, b, 4, 2, tm=64)
+    res = spgemm_sharded(prob, engine="cached")
+    ref = _ref(a, b)
+    err = np.abs(res.todense() - ref).max() / max(np.abs(ref).max(), 1e-30)
+    assert err < 2e-2, err  # bf16 tiles, f32 accumulation
+
+
+def test_sharded_cached_equals_xla_engine():
+    """Both per-shard engines run the same decomposition; f32 tiles make
+    them agree tightly (the only difference is accumulation order)."""
+    import jax.numpy as jnp
+
+    if len(jax.devices()) < 4:
+        pytest.skip("needs 4 devices")
+    a = random_csr(200, 160, 0.08, seed=33)
+    b = random_csr(160, 220, 0.08, seed=34)
+    prob = partition_spgemm(a, b, 2, 2, tm=32)
+    r_c = spgemm_sharded(prob, engine="cached", engine_dtype=jnp.float32)
+    r_x = spgemm_sharded(prob, engine="xla")
+    np.testing.assert_allclose(r_c.todense(), r_x.todense(),
+                               rtol=1e-4, atol=1e-4)
+
+
+def test_halo_cached_matches_scipy():
+    from spada_tpu.parallel.halo import partition_halo, spgemm_halo
+
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 devices")
+    a = powerlaw_csr(400, 320, 8.0, seed=35)
+    b = random_csr(320, 400, 0.05, seed=36)
+    ref = _ref(a, b)
+    for D in (1, 8):   # 1-device mesh = the TPU parity configuration
+        prob = partition_halo(a, b, D, tm=32)
+        res = spgemm_halo(prob, engine="cached")
+        err = (np.abs(res.todense() - ref).max()
+               / max(np.abs(ref).max(), 1e-30))
+        assert err < 2e-2, (D, err)
+
+
+def test_cached_plans_cover_padding():
+    """Every padded shard worklist o-sorts its pad items into the dump
+    tile's run and the plan's item ranges tile the whole worklist."""
+    from spada_tpu.parallel.cached import build_cached_plans
+
+    a = random_csr(120, 100, 0.08, seed=37)
+    b = random_csr(100, 140, 0.08, seed=38)
+    prob = partition_spgemm(a, b, 2, 2, tm=16)
+    plans = build_cached_plans(prob.a_tid, prob.b_tid, prob.o_tid,
+                               prob.nCmax)
+    assert plans.tile_ptr.shape[:2] == (2, 2)
+    W = prob.a_tid.shape[-1]
+    for d in range(2):
+        for t in range(2):
+            tp_ = plans.tile_ptr[d, t]
+            assert tp_[0] == 0 and tp_[-1] == W
+            assert (np.diff(tp_) >= 0).all()

@@ -321,3 +321,30 @@ def test_cached_engine_uitems_pairing_matches_xla():
         n_c_tiles=wl.n_c_tiles, precision="highest",
     ))
     np.testing.assert_allclose(np.asarray(out), ref, rtol=1e-5, atol=1e-5)
+
+
+def test_cached_engine_empty_runs_emit_zero_tiles():
+    """C tiles with no work items (lo == hi interior to the schedule) must
+    come out as true zeros — the distributed per-round launches sum such
+    tiles instead of slicing them off (parallel/halo.py)."""
+    import jax.numpy as jnp
+
+    from spada_tpu.ops.engine import run_worklist_cached
+
+    rng = np.random.default_rng(40)
+    a_tiles = jnp.asarray(rng.standard_normal((3, 16, 16)).astype(np.float32))
+    b_tiles = jnp.asarray(rng.standard_normal((3, 16, 16)).astype(np.float32))
+    # tiles 1 and 3 of 5 have no items
+    a_ids = np.array([0, 1, 2, 0], np.int32)
+    b_ids = np.array([1, 2, 0, 2], np.int32)
+    o_ids = np.array([0, 0, 2, 4], np.int32)
+    c, _, _ = run_worklist_cached(a_tiles, b_tiles, a_ids, b_ids, o_ids,
+                                  n_c_tiles=5, a_slots=6, b_slots=6,
+                                  depth=2, ogroup=2)
+    c = np.asarray(c)
+    at, bt = np.asarray(a_tiles), np.asarray(b_tiles)
+    ref = np.zeros_like(c)
+    for ai, bi, oi in zip(a_ids, b_ids, o_ids):
+        ref[oi] += at[ai] @ bt[bi]
+    np.testing.assert_allclose(c, ref, rtol=1e-5, atol=1e-5)
+    assert np.all(c[1] == 0.0) and np.all(c[3] == 0.0)
