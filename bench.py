@@ -37,6 +37,12 @@ Suite (engine dispatched per matrix, like the adaptive planner would):
               ReLU-sparse activations (16384x4096, 35%) — the reference's
               NN workload category (py2rust.rs:62-97) in the tile
               engine's long-run regime (runs avg ~8.6 vs banded's 1-3)
+  stencil5    exact 2-D 5-point Laplacian, 1536^2 grid (n=2.36M), C=A@A —
+              real PDE structure (apache/ecology/thermal class); engine
+              picked by dispatch_dataflow (element: stencil tiles are ~2%
+              full, so MXU tiles pay ~40x padding)
+  stencil7    exact 3-D 7-point Laplacian, 128^3 (n=2.1M), C=A@A —
+              atmosmodd/cage class, likewise dispatched
 
 Correctness gates: (a) stock workload cari (C = A·A^T) vs scipy; (b) each
 tile entry's *measured kernel* vs an f32 XLA oracle on device (readback is
@@ -415,6 +421,30 @@ def _element_entry(name, a, b, config, rt, gate_rows=2048,
     return out
 
 
+def _entry_dispatched(name, a, b, config, rt):
+    """Route through dispatch_dataflow — the adaptive-dataflow decision the
+    planner makes for a real matrix — then run the chosen entry type.
+
+    Used by the real-structure stencil entries: dense-tile MXU work on a
+    5/7-point stencil pays ~40x padding FLOPs, so the honest engine there
+    is the element path; the dispatch (both sides plan-true byte models,
+    ops/spgemm.py) decides, and the entry records the choice."""
+    from spada_tpu.ops.spgemm import dispatch_dataflow
+
+    choice, det = dispatch_dataflow(a, b, config)
+    if choice == "element":
+        out = _element_entry(name, a, b, config, rt)
+    else:
+        out = _tile_entry(name, a, b, config, det["tile_T"], rt)
+    out["dispatch"] = choice
+    out["dispatch_t_est_ms"] = {
+        "element": round(det["element"]["t_est"] * 1e3, 3),
+        "tile": round(min(v["t_est"] for v in det["tile"].values()) * 1e3,
+                      3),
+    }
+    return out
+
+
 def _calibrate(rt):
     """Same-session reference stream: flat r2w1 f32 multiply, 564 MB working
     set (the element path's dominant mix).  Reported alongside the headline
@@ -483,7 +513,8 @@ def main() -> int:
     from spada_tpu.io.workloads import (GemmWorkload, banded_csr,
                                         banded_offset_csr, block_sparse_csr,
                                         localized_powerlaw_csr,
-                                        relu_activation_csr, rmat_csr)
+                                        relu_activation_csr, rmat_csr,
+                                        stencil_5pt_csr, stencil_7pt_csr)
     from spada_tpu.ops.spgemm import spgemm
     from spada_tpu.utils.timing import measure_roundtrip
 
@@ -604,6 +635,22 @@ def main() -> int:
         16384, 4096, 0.35, seed=6, dtype=np.float32))
     entries.append(guard(_tile_entry, "nn", a, b, config, 384, rt,
                          slots=(24, 36, 4, 6)))
+
+    # Real-structure PDE workloads (VERDICT round-4 missing #1): exact
+    # stencil Laplacians — the structure of large fractions of SuiteSparse —
+    # generated deterministically (no downloads), C = A @ A (square => B=A,
+    # gemm.rs:41-53).  Engine chosen by dispatch_dataflow: at MXU tile
+    # granularity a 5-point stencil fills ~2% of its diagonal tiles, so the
+    # plan-true byte models route both to the element path.
+    _mark("generating stencil5 (2-D, n=2.36M)")
+    a = _cached_workload("lap5-1536x1536", lambda: stencil_5pt_csr(
+        1536, 1536, dtype=np.float32))
+    entries.append(guard(_entry_dispatched, "stencil5", a, a, config, rt))
+
+    _mark("generating stencil7 (3-D, n=2.1M)")
+    a = _cached_workload("lap7-128c", lambda: stencil_7pt_csr(
+        128, 128, 128, dtype=np.float32))
+    entries.append(guard(_entry_dispatched, "stencil7", a, a, config, rt))
 
     _mark("second pass")
     _second_pass(entries, config, rt)

@@ -121,6 +121,21 @@ def load_mtx_scipy(path: str) -> CsrMatrix:
     return CsrMatrix.from_scipy(scipy.io.mmread(path).tocsr())
 
 
+def save_mtx(m: CsrMatrix, path: str, comment: str = "") -> None:
+    """Write MatrixMarket coordinate/real/general (the reference's input
+    format, py2rust.rs:62-97) — lets generated workloads ship as committed
+    .mtx files loadable by name through the CLI's SS category."""
+    coo = m.to_scipy().tocoo()
+    with open(path, "w") as f:
+        f.write("%%MatrixMarket matrix coordinate real general\n")
+        if comment:
+            for line in comment.splitlines():
+                f.write(f"% {line}\n")
+        f.write(f"{m.shape[0]} {m.shape[1]} {len(coo.data)}\n")
+        for r, c, v in zip(coo.row, coo.col, coo.data):
+            f.write(f"{r + 1} {c + 1} {v:.17g}\n")
+
+
 def resolve_workload_path(ss_filepath: str, name: str) -> str:
     """``<ss_filepath>/<name>.mtx`` with tolerance for a full path as name."""
     if os.path.exists(name):

@@ -91,23 +91,65 @@ def _count_useful_flops(a: CsrMatrix, b: CsrMatrix) -> int:
     return int(2 * np.dot(a_col_counts.astype(np.int64), b_row_lens.astype(np.int64)))
 
 
-def estimate_element_time(a: CsrMatrix, b: CsrMatrix,
-                          config: SpadaConfig) -> dict:
-    """Closed-form time model for the element (ESC) path.
+def element_plan_bytes(a: CsrMatrix, b: CsrMatrix, cap: int = 512) -> dict:
+    """Exact streamed bytes of the ESC plan WITHOUT building it.
 
-    Streamed bytes: two padded f32 operand slots per product (padding <= 2x
-    from the pow-2 classes) plus the chunk outputs (bounded by E); plus a
-    fixed launch overhead.  Mirrors choose_tile_size's byte/overhead model
-    on the element side of the dispatch.
+    The chunk-length histogram is the per-C-nonzero product count — the
+    boolean pattern product A_pat @ B_pat (scipy, O(E) in C).  Each count
+    ``c`` streams ``(c // cap) * cap`` full-cap slots plus
+    ``ceil_pow2(c % cap)`` for the remainder chunk, two f32 operands per
+    slot, plus one f32 output per chunk — exactly
+    :meth:`EscPlan.operand_bytes` of the plan the runner would build.
+    """
+    import scipy.sparse as sp
+
+    from spada_tpu.ops.element import _ceil_pow2
+
+    pa = sp.csr_matrix(
+        (np.ones(a.nnz, np.float64), a.indices, a.indptr), shape=a.shape)
+    pb = sp.csr_matrix(
+        (np.ones(b.nnz, np.float64), b.indices, b.indptr), shape=b.shape)
+    counts = (pa @ pb).data.astype(np.int64)
+    full = counts // cap
+    rem = counts % cap
+    n_padded = int(full.sum()) * cap + int(_ceil_pow2(rem[rem > 0]).sum())
+    n_chunks = int(full.sum()) + int((rem > 0).sum())
+    return {"n_padded": n_padded, "n_chunks": n_chunks,
+            "nnz_c": len(counts),
+            "bytes": 2 * n_padded * 4 + n_chunks * 4}
+
+
+def estimate_element_time(a: CsrMatrix, b: CsrMatrix,
+                          config: SpadaConfig,
+                          tile_t: Optional[float] = None) -> dict:
+    """Time model for the element (ESC) path, symmetric in fidelity with
+    the tile side's calibrated sum model (VERDICT round-4 item 7).
+
+    Bounds first (padding is between 1x and 2x of E, pow-2 classes), then
+    the EXACT plan bytes via the pattern-product chunk histogram
+    (:func:`element_plan_bytes`) whenever the decision is ambiguous — i.e.
+    ``tile_t`` falls between the bounds — or when no ``tile_t`` is given
+    and E is small enough that the O(E) pattern product is cheap.
     """
     from spada_tpu.ops.element import expansion_products
 
     e = expansion_products(a, b)
-    worst_bytes = 2 * 2 * e * 4 + e * 4
-    return {
-        "e_products": e,
-        "t_est": worst_bytes / config.hbm_bytes_per_s + 30e-6,
-    }
+    bw = config.hbm_bytes_per_s
+    overhead = 30e-6
+    if e == 0:
+        return {"e_products": 0, "t_est": overhead, "bytes_model": "exact"}
+    t_lo = (2 * e * 4 + e * 4) / bw + overhead      # zero padding
+    t_hi = (2 * 2 * e * 4 + e * 4) / bw + overhead  # 2x worst case
+    ambiguous = (tile_t is not None and t_lo < tile_t < t_hi)
+    if ambiguous or (tile_t is None and e < 2**28):
+        pb = element_plan_bytes(a, b, cap=config.element_cap)
+        return {"e_products": e,
+                "t_est": pb["bytes"] / bw + overhead,
+                "bytes_model": "exact", **pb}
+    # decision identical at both bounds (or E too large to enumerate at
+    # plan fidelity without paying the symbolic pass twice): worst case
+    return {"e_products": e, "t_est": t_hi, "t_lo": t_lo,
+            "bytes_model": "worst-case"}
 
 
 def dispatch_dataflow(a: CsrMatrix, b: CsrMatrix,
@@ -117,13 +159,15 @@ def dispatch_dataflow(a: CsrMatrix, b: CsrMatrix,
     The reference adapts its dataflow to sparsity structure cycle-by-cycle
     (scheduler.rs adjust schemes); the TPU-native matrix-level analog is
     this density-regime dispatch: clustered structure -> MXU tile products,
-    scattered structure -> the streaming element path.
+    scattered structure -> the streaming element path.  Both sides now use
+    plan-true byte models (tile: Belady unique bytes + calibrated per-item
+    overhead; element: exact chunk-histogram bytes in the ambiguous band).
     """
     from spada_tpu.plan.planner import choose_tile_size
 
-    elem = estimate_element_time(a, b, config)
     t_best, t_det = choose_tile_size(a, b, config)
     t_tile = min(v["t_est"] for v in t_det.values())
+    elem = estimate_element_time(a, b, config, tile_t=t_tile)
     choice = "element" if elem["t_est"] < t_tile else "tile"
     return choice, {"element": elem, "tile": t_det, "tile_T": t_best}
 
