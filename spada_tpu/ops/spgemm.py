@@ -51,6 +51,10 @@ class SpGemmResult:
     # todense/to_csr delegate (see spada_tpu.ops.element)
     element: Optional[object] = None
     engine_used: str = "tile"    # 'tile' | 'element'
+    # host-side launch state ({"segments": [(wl, a_tiles, b_tiles, tm)],
+    # "tk", "tn"}) retained so measure_device_perf can time exactly the
+    # launches this result ran without replanning (VERDICT round-4 item 8)
+    host_state: Optional[dict] = None
 
     def todense(self) -> np.ndarray:
         if self.element is not None:
@@ -296,13 +300,15 @@ def spgemm(
         mxu_flops=2 * wl.n_items * tm * config.tile_k * config.tile_n,
         useful_flops=_count_useful_flops(a, b),
         elapsed_s=elapsed,
+        host_state={"segments": [(wl, a_bsr.tiles, b_bsr.tiles, tm)],
+                    "tk": config.tile_k, "tn": config.tile_n},
     )
 
 
 def measure_device_perf(a: CsrMatrix, b: CsrMatrix,
                         config: Optional[SpadaConfig] = None,
                         dataflow: Optional[str] = None,
-                        plan=None) -> Optional[dict]:
+                        plan=None, host_state=None) -> Optional[dict]:
     """Device-fenced engine timing for the launches :func:`spgemm` runs.
 
     The reference reports per-PE ``mult_util`` / ``active_cycle`` per run
@@ -373,15 +379,24 @@ def measure_device_perf(a: CsrMatrix, b: CsrMatrix,
             "flops_per_s": 2 * eplan.n_products / el,
         }
 
-    # tile path: rebuild the same worklists spgemm ran and time the engine
-    # launches in one fenced loop (tiles passed as jit args — closures over
-    # big arrays become compile-request constants on this runtime)
+    # tile path: time exactly the launches spgemm ran, in one fenced loop
+    # (tiles passed as jit args — closures over big arrays become
+    # compile-request constants on this runtime).  A result's retained
+    # ``host_state`` supplies the worklists/tiles directly (one plan, one
+    # BSR build per CLI run); otherwise they are rebuilt here.
     from spada_tpu.ops.worklist import build_worklist
 
     dtype = np.float32
     if config.engine_dtype == "bfloat16":
         dtype = jnp.bfloat16
     engine = _resolve_engine(config)
+
+    if host_state is not None:
+        segments = host_state["segments"]
+        tk, tn = host_state["tk"], host_state["tn"]
+        if not segments:
+            return None
+        return _time_segments(segments, tk, tn, config, engine, dtype)
 
     segments = []  # (wl, a_tiles, b_tiles, tm)
     if dataflow == "spada" and plan is not None:
@@ -421,6 +436,13 @@ def measure_device_perf(a: CsrMatrix, b: CsrMatrix,
         tk, tn = config.tile_k, config.tile_n
     if not segments:
         return None
+    return _time_segments(segments, tk, tn, config, engine, dtype)
+
+
+def _time_segments(segments, tk, tn, config, engine, dtype):
+    import jax.numpy as jnp
+
+    from spada_tpu.utils.timing import device_time
 
     args, metas = [], []
     mxu_flops = 0

@@ -199,6 +199,9 @@ class PlanResult:
     mxu_flops: int = 0
     useful_flops: int = 0
     elapsed_s: Optional[float] = None
+    # launch state retained for measure_device_perf reuse (one plan, one
+    # BSR/worklist build per CLI run — VERDICT round-4 item 8)
+    host_state: Optional[dict] = None
 
     def todense(self) -> np.ndarray:
         d = np.zeros(self.shape, np.float32)
@@ -308,12 +311,14 @@ def execute_plan(
     from spada_tpu.utils import trace
 
     segments = []
+    host_segs = []
     n_work = 0
     mxu = 0
     t0 = time.perf_counter()
     for tm, panels, bases, a_bsr, wl in iter_plan_segments(
         a, b_bsr, plan, dtype
     ):
+        host_segs.append((wl, a_bsr.tiles, b_bsr.tiles, tm))
         t_seg = time.perf_counter()
         c_tiles = run_worklist(
             wl, a_bsr.tiles, b_bsr.tiles, precision=config.precision,
@@ -346,6 +351,8 @@ def execute_plan(
         mxu_flops=mxu,
         useful_flops=_count_useful_flops(a, b),
         elapsed_s=elapsed,
+        host_state={"segments": host_segs, "tk": plan.tile_k,
+                    "tn": plan.tile_n},
     )
 
 

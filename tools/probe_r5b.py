@@ -120,21 +120,24 @@ def main():
     t("E0d densified x densified", lambda x, y: (engD(x, y),), arr["D"],
       mxu(SD.n_items))
 
-    # E5: aligned schedule on densified arrays padded to the aligned count
-    nta, ntb = arr["A"][0].shape[0], arr["A"][1].shape[0]
-    padA = jnp.concatenate([
-        arr["D"][0],
-        jnp.zeros((nta - arr["D"][0].shape[0], T, T), jnp.bfloat16)])
-    padB = jnp.concatenate([
-        arr["D"][1],
-        jnp.zeros((ntb - arr["D"][1].shape[0], T, T), jnp.bfloat16)])
-    t("E5 aligned sched x densified arrays(+pad)",
-      lambda x, y: (engA(x, y),), (padA, padB), mxu(SA.n_items))
+    # E5/E6 schedule x array cross: pad whichever array is short of the
+    # schedule's id range with zero tiles (pad tiles are never addressed
+    # unless the other side's count is larger — they just move the array
+    # length/addresses)
+    def fit(x, n_needed):
+        if x.shape[0] >= n_needed:
+            return x
+        return jnp.concatenate(
+            [x, jnp.zeros((n_needed - x.shape[0], T, T), jnp.bfloat16)])
 
-    # E6: densified schedule on aligned arrays (ids are in range)
-    assert SD.a_tid.max() < nta and SD.b_tid.max() < ntb
-    t("E6 densified sched x aligned arrays",
-      lambda x, y: (engD(x, y),), arr["A"], mxu(SD.n_items))
+    t("E5 aligned sched x densified arrays",
+      lambda x, y: (engA(x, y),),
+      (fit(arr["D"][0], int(SA.a_tid.max()) + 1),
+       fit(arr["D"][1], int(SA.b_tid.max()) + 1)), mxu(SA.n_items))
+    t("E6 densified sched x aligned arrays(+pad)",
+      lambda x, y: (engD(x, y),),
+      (fit(arr["A"][0], int(SD.a_tid.max()) + 1),
+       fit(arr["A"][1], int(SD.b_tid.max()) + 1)), mxu(SD.n_items))
 
     # E7: densified + one dummy run -> W even, nC even
     a7 = np.concatenate([SD.a_tid, [0]]).astype(np.int32)
