@@ -238,6 +238,9 @@ def _tile_entry(name, a, b, config, T, rt, densify=False, slots=None):
     ).astype(np.int32))
 
     def engine(at_, bt_):
+        # returns the FULL group-padded output (pad tiles are exact
+        # zeros); trimming inside the timed jit would copy all of C
+        # whenever nC % ogroup != 0 (the round-5 anomaly root cause)
         return _run_pallas_cached(
             tile_ptr, apk, bpk, at_, bt_, n_c_tiles=nC,
             a_slots=a_slots, b_slots=b_slots, depth=depth, ogroup=ogroup,
@@ -250,7 +253,7 @@ def _tile_entry(name, a, b, config, T, rt, densify=False, slots=None):
 
     @jax.jit
     def _relerr(a_eng, bt_):
-        c_perf = engine(a_eng, bt_).astype(jnp.float32)
+        c_perf = engine(a_eng, bt_)[:nC].astype(jnp.float32)
         atf = a_eng.astype(jnp.float32)
         btf = bt_.astype(jnp.float32)
         c_ref = jnp.zeros((nC, T, T), jnp.float32)
@@ -597,13 +600,13 @@ def main() -> int:
         65536, 65536, 384, 192, seed=0, dtype=np.float32))
     b = _cached_workload("bandedoff-64k-384-192-s1", lambda: banded_offset_csr(
         65536, 65536, 384, 192, seed=1, dtype=np.float32))
-    # pinned T=384: the densified layout at T=512 measures 2.83 ms against
-    # the aligned band's 1.74-1.85 ms with IDENTICAL W / unique loads /
-    # run histogram — an unexplained content-layout anomaly recorded in
-    # BENCH_NOTES ("densified-offset T=512 anomaly"); at 384 the densify
-    # win is clean (anchor192 restores aligned-band speed)
+    # UNPINNED in round 5: the "densified-offset T=512 anomaly" was the
+    # kernel's own in-jit output trim (out[:nC] copies all of C when
+    # nC % ogroup != 0 — densified nC=633 vs aligned 634); the kernel now
+    # returns the full group-padded output and the planner's T choice is
+    # trustworthy again (BENCH_NOTES round-5, tools/probe_r5b.py)
     entries.append(guard(
-        _tile_entry, "banded_off", a, b, config, 384, rt, densify=True))
+        _tile_entry, "banded_off", a, b, config, None, rt, densify=True))
 
     # avg degree 32: ~0.7 GB streamed, honestly HBM-bound (at deg 16 the
     # 0.34 ms execution is ~15% launch/ramp overhead)

@@ -379,7 +379,9 @@ def _run_pallas_streaming_grouped(item_ptr, a_ids, b_ids, o_ids, a_tiles,
         ),
         interpret=interpret,
     )(item_ptr, a_ids, b_ids, o_ids, a_tiles, b_tiles)
-    return out[:n_c_tiles]
+    # full [n_groups*ogroup, ...] — see _run_pallas_cached on why trimming
+    # must happen outside the jitted computation
+    return out
 
 
 def run_worklist_streaming(a_tiles, b_tiles, a_ids, b_ids, o_ids,
@@ -431,7 +433,7 @@ def run_worklist_streaming(a_tiles, b_tiles, a_ids, b_ids, o_ids,
         jnp.asarray(o_ids), jnp.asarray(a_tiles), jnp.asarray(b_tiles),
         n_c_tiles=n_c_tiles, nbuf=nbuf, ogroup=ogroup,
         interpret=bool(interpret), precision=precision,
-    )
+    )[:n_c_tiles]
 
 
 # --------------------------------------------------------------------------
@@ -680,7 +682,16 @@ def _run_pallas_cached(tile_ptr, a_packed, b_packed, a_tiles, b_tiles,
     """``tile_ptr``: int32 [n_groups*ogroup + 1] CSR pointer of each C
     tile's item range in the o-sorted worklist (padded tiles: lo == hi).
     With ``uitems`` > 1 the caller must have padded the worklist with
-    :func:`_pad_worklist` (zero slots = index a_slots / b_slots)."""
+    :func:`_pad_worklist` (zero slots = index a_slots / b_slots).
+
+    Returns the FULL [n_groups*ogroup, tm, tn] output — including the
+    group-padding tiles past ``n_c_tiles``, which are exact zeros (the
+    lo == hi branch).  Callers that need exactly ``n_c_tiles`` tiles must
+    slice OUTSIDE any timed/merged device computation: an in-jit
+    ``out[:n_c_tiles]`` with ``n_c_tiles % ogroup != 0`` materializes a
+    full copy of C (round-5 root cause of the "densified-offset T=512
+    anomaly" — a ~332 MB r/w phantom pass, 1.0 ms of a 2.8 ms entry —
+    and of the apparent 2x shard_map overhead; tools/probe_r5b.py)."""
     assert uitems & (uitems - 1) == 0, "uitems must be a power of two"
     W = a_packed.shape[0]
     tm, tk = a_tiles.shape[1], a_tiles.shape[2]
@@ -734,7 +745,7 @@ def _run_pallas_cached(tile_ptr, a_packed, b_packed, a_tiles, b_tiles,
         interpret=interpret,
         name="spada_cached",
     )(tile_ptr, a_packed, b_packed, a_tiles, b_tiles)
-    return out[:n_c_tiles]
+    return out
 
 
 def _pack_plan(ids, plan) -> np.ndarray:
@@ -892,7 +903,10 @@ def run_worklist_cached(a_tiles, b_tiles, a_ids, b_ids, o_ids,
         ogroup=ogroup, interpret=bool(interpret), precision=precision,
         uitems=uitems,
     )
-    return c, a_plan, b_plan
+    # trim group padding OUTSIDE the jitted kernel (an in-jit slice copies
+    # all of C when n_c_tiles % ogroup != 0 — see _run_pallas_cached); the
+    # lazy slice executes with the readback/extraction, off the hot path
+    return c[:n_c_tiles], a_plan, b_plan
 
 
 # --------------------------------------------------------------------------
@@ -1238,7 +1252,9 @@ def _run_pallas_panel(tile_ptr, a_packed, b_packed, a_tiles_t, b_tiles,
         interpret=interpret,
         name="spada_panel",
     )(tile_ptr, a_packed, b_packed, a_tiles_t, b_tiles)
-    return out[:n_c_tiles]
+    # full [n_groups*ogroup, ...] — see _run_pallas_cached on why trimming
+    # must happen outside the jitted computation
+    return out
 
 
 def panel_launch_args(a_ids, b_ids, o_ids, n_c_tiles: int, *,
@@ -1369,4 +1385,4 @@ def run_worklist_panel(a_tiles, b_tiles, a_ids, b_ids, o_ids,
         cache3d=cache3d, short_lens=short_lens, rem_lens=rem_lens,
         has_long=bool(len(long)),
     )
-    return c, a_plan, b_plan, run_perm
+    return c[:n_c_tiles], a_plan, b_plan, run_perm

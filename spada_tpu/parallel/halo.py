@@ -424,4 +424,7 @@ def spgemm_halo(problem: HaloProblem, mesh: Optional[Mesh] = None,
     prob.shape = p.shape
     prob.c_tile_row, prob.c_tile_col = p.c_tile_row, p.c_tile_col
     prob.row_base, prob.n_c_tiles = p.row_base, p.n_c_tiles
-    return ShardedResult(problem=prob, c_tiles=np.asarray(c))
+    # cached engine returns the full group-padded tile dim (pad tiles are
+    # exact zeros); trim host-side to the ShardedResult surface
+    return ShardedResult(problem=prob,
+                         c_tiles=np.asarray(c)[:, : p.nCmax + 1])

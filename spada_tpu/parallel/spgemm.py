@@ -111,7 +111,10 @@ def _merge_tp(c, mesh: Mesh, merge: str):
     as an ICI collective.
     """
     n_tp = mesh.shape["tp"]
-    if merge == "reduce_scatter" and n_tp > 1:
+    if n_tp == 1:
+        # nothing to merge; even an identity psum costs an HBM round trip
+        return c
+    if merge == "reduce_scatter":
         pad = (-c.shape[0]) % n_tp
         if pad:
             c = jnp.concatenate(
@@ -153,13 +156,18 @@ def make_sharded_fn(mesh: Mesh, n_c_tiles: int, chunk: int = 1024,
         # reduce_scatter: tp ranks hold consecutive tile ranges; the out
         # spec concatenates them back along the tile dim
         out_specs=P("dp", "tp") if out_tp else P("dp"),
+        # n_tp == 1 skips the merge collective (it would cost an HBM round
+        # trip for nothing), so tp-replication cannot be statically
+        # inferred; correctness is covered by the scipy-parity tests
+        check_vma=False,
     )
     return jax.jit(fn)
 
 
 def make_sharded_cached_fn(mesh: Mesh, plans, merge: str = "reduce_scatter",
                            interpret: bool = False,
-                           precision: str = "default"):
+                           precision: str = "default",
+                           out_dtype=None):
     """shard_map SpGEMM running the flagship cached Pallas kernel per shard.
 
     ``plans`` is a :class:`~spada_tpu.parallel.cached.CachedShardPlans`
@@ -177,6 +185,9 @@ def make_sharded_cached_fn(mesh: Mesh, plans, merge: str = "reduce_scatter",
     from spada_tpu.ops.engine import _run_pallas_cached
 
     n_tp = mesh.shape["tp"]
+    # single-tp meshes have no merge, so the flagship bf16 writeback is
+    # exact-as-single-chip; with a tp merge the partials sum in f32
+    od = out_dtype or (jnp.bfloat16 if n_tp == 1 else jnp.float32)
 
     def per_shard(tile_ptr, a_pk, b_pk, a_tiles, b_tiles):
         c = _run_pallas_cached(
@@ -185,7 +196,7 @@ def make_sharded_cached_fn(mesh: Mesh, plans, merge: str = "reduce_scatter",
             n_c_tiles=plans.n_c_tiles, a_slots=plans.a_slots,
             b_slots=plans.b_slots, depth=plans.depth, ogroup=plans.ogroup,
             interpret=interpret, precision=precision,
-            out_dtype=jnp.float32,
+            out_dtype=od,
         )
         return _merge_tp(c, mesh, merge)[None]
 

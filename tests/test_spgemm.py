@@ -417,3 +417,35 @@ def test_estimate_element_time_exactness_gating():
     mid = (det_hi["t_lo"] + det_hi["t_est"]) / 2         # inside the band
     det_mid = estimate_element_time(a, b, cfg, tile_t=mid)
     assert det_mid["bytes_model"] == "exact"
+
+
+def test_cached_kernel_returns_group_padded_output():
+    """_run_pallas_cached must return the FULL [n_groups*ogroup] array with
+    exact-zero pad tiles: an in-jit out[:nC] trim with nC % ogroup != 0
+    copies all of C (the round-5 'densified-offset T=512 anomaly' root
+    cause, tools/probe_r5b.py) — this pins the no-trim contract."""
+    import jax.numpy as jnp
+
+    from spada_tpu.ops.cacheplan import plan_tile_cache
+    from spada_tpu.ops.engine import _pack_plan, _run_pallas_cached
+
+    rng = np.random.default_rng(41)
+    at = jnp.asarray(rng.standard_normal((4, 16, 16)).astype(np.float32))
+    bt = jnp.asarray(rng.standard_normal((4, 16, 16)).astype(np.float32))
+    a_ids = np.array([0, 1, 2, 3, 0], np.int64)
+    b_ids = np.array([1, 2, 3, 0, 2], np.int64)
+    o_ids = np.array([0, 0, 1, 2, 2], np.int64)   # nC=3, ogroup=2 -> 4 slots
+    nC, ogroup = 3, 2
+    apk = jnp.asarray(_pack_plan(a_ids, plan_tile_cache(a_ids, 6, 2)))
+    bpk = jnp.asarray(_pack_plan(b_ids, plan_tile_cache(b_ids, 6, 2)))
+    tp_ = jnp.asarray(np.searchsorted(o_ids, np.arange(5)).astype(np.int32))
+    c = np.asarray(_run_pallas_cached(
+        tp_, apk, bpk, at, bt, n_c_tiles=nC, a_slots=6, b_slots=6,
+        depth=2, ogroup=ogroup, interpret=True))
+    assert c.shape == (4, 16, 16)          # full group-padded output
+    assert np.all(c[3] == 0.0)             # pad tile is exact zeros
+    ref = np.zeros((3, 16, 16), np.float32)
+    atn, btn = np.asarray(at), np.asarray(bt)
+    for ai, bi, oi in zip(a_ids, b_ids, o_ids):
+        ref[oi] += atn[ai] @ btn[bi]
+    np.testing.assert_allclose(c[:3], ref, rtol=1e-5, atol=1e-5)

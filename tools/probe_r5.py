@@ -189,7 +189,7 @@ def main():
           (tp_j, apk_j, bpk_j, at4, bt4), flops=mxu)
         # correctness: sharded result == bare (f32 compare of bf16 outs)
         cs = np.asarray(sharded(tp_j, apk_j, bpk_j, at4, bt4))[0, :nC]
-        cb_ = np.asarray(eng(at, bt))
+        cb_ = np.asarray(eng(at, bt))[:nC]
         err = (np.abs(cs.astype(np.float32) - cb_.astype(np.float32)).max()
                / max(np.abs(cb_.astype(np.float32)).max(), 1e-30))
         print(f"  shard_map parity relerr {err:.2e}", flush=True)
@@ -267,9 +267,10 @@ def main():
                 eng0, _ = build_engine(wl.a_tid, wl.b_tid, wl.o_tid,
                                        wl.n_c_tiles, slots)
                 c0 = np.asarray(eng0(*tiles[src])).astype(np.float32)
-                c1 = np.asarray(eng(*tiles[src])).astype(np.float32)
+                c1 = np.asarray(
+                    eng(*tiles[src]))[:len(order)].astype(np.float32)
                 err = (np.abs(c1 - c0[order]).max()
-                       / max(np.abs(c0).max(), 1e-30))
+                       / max(np.abs(c0[:wl.n_c_tiles]).max(), 1e-30))
                 print(f"  permuted-schedule parity relerr {err:.2e}",
                       flush=True)
             return el
@@ -351,8 +352,8 @@ def main():
 
             el = t(label, lambda x, y: (peng(x, y),), (att, bt), flops=mxu)
             if el is not None:
-                c1 = np.asarray(peng(att, bt)).astype(np.float32)
-                c0 = np.asarray(eng(at, bt)).astype(np.float32)
+                c1 = np.asarray(peng(att, bt))[:nC].astype(np.float32)
+                c0 = np.asarray(eng(at, bt))[:nC].astype(np.float32)
                 err = np.abs(c1 - c0).max() / max(np.abs(c0).max(), 1e-30)
                 print(f"  {label} relerr vs cached {err:.2e}", flush=True)
 
