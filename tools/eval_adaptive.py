@@ -334,8 +334,8 @@ def main():
         "(plan/densify.py; absent = it chose identity); `spada` the",
         "adaptive per-row-group plan; `element (dispatched)` what the full",
         "dispatch actually runs on scattered structure (W = scalar product",
-        "slots there, not MXU tiles).  `nan` = skipped (>4 slab launches",
-        "of distinct shapes; the W column already tells the story).",
+        "slots there, not MXU tiles).  `skip(slabs)` = not timed (>4 slab",
+        "launches of distinct shapes; the W column already tells the story).",
         "",
     ]
     for name, t_best, r in rows:
@@ -344,7 +344,8 @@ def main():
         lines.append("| setting | engine ms | work items |")
         lines.append("|---|---|---|")
         for k, (el, wi) in r.items():
-            lines.append(f"| {k} | {el*1e3:.2f} | {wi} |")
+            ms = "skip(slabs)" if el != el else f"{el*1e3:.2f}"
+            lines.append(f"| {k} | {ms} | {wi} |")
         lines.append("")
     out = "\n".join(lines)
     with open(os.path.join(os.path.dirname(__file__), "..", "EVAL.md"),
