@@ -431,10 +431,19 @@ def _entry_dispatched(name, a, b, config, rt):
     Used by the real-structure stencil entries: dense-tile MXU work on a
     5/7-point stencil pays ~40x padding FLOPs, so the honest engine there
     is the element path; the dispatch (both sides plan-true byte models,
-    ops/spgemm.py) decides, and the entry records the choice."""
+    ops/spgemm.py) decides, and the entry records the choice.
+
+    The dispatch models the engine configuration the entry would actually
+    run — bf16 tiles (_tile_entry's dtype).  Modeling f32 while running
+    bf16 misplaced the boundary by ~1.5x on the crossover family
+    (tools/probe_dispatch_crossover.py fill=48: modeled tile 1.34 ms vs
+    0.92 measured)."""
+    import dataclasses as _dc
+
     from spada_tpu.ops.spgemm import dispatch_dataflow
 
-    choice, det = dispatch_dataflow(a, b, config)
+    choice, det = dispatch_dataflow(
+        a, b, _dc.replace(config, engine_dtype="bfloat16"))
     if choice == "element":
         out = _element_entry(name, a, b, config, rt)
     else:

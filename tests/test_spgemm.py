@@ -449,3 +449,32 @@ def test_cached_kernel_returns_group_padded_output():
     for ai, bi, oi in zip(a_ids, b_ids, o_ids):
         ref[oi] += atn[ai] @ btn[bi]
     np.testing.assert_allclose(c[:3], ref, rtol=1e-5, atol=1e-5)
+
+
+def test_dispatch_crossover_family_bf16():
+    """Pin the bf16-modeled dispatch on the hardware-measured crossover
+    family (tools/probe_dispatch_crossover.py, BENCH_NOTES round-5):
+    band-384 n=32768 with per-row fill swept across the boundary.
+    Hardware winners: fill>=48 tile, fill<=24 element."""
+    import dataclasses
+
+    from spada_tpu.config import SpadaConfig
+    from spada_tpu.ops.spgemm import dispatch_dataflow
+    from spada_tpu.sparse.csr import CsrMatrix
+
+    def band_fill(n, bw, fill, seed):
+        rng = np.random.default_rng(seed)
+        rows = np.repeat(np.arange(n), fill)
+        offs = rng.integers(-bw, bw + 1, n * fill)
+        cols = np.clip(rows + offs, 0, n - 1)
+        return CsrMatrix.from_coo(
+            (n, n), rows, cols,
+            rng.standard_normal(n * fill).astype(np.float32))
+
+    cfg = dataclasses.replace(SpadaConfig(), engine_dtype="bfloat16")
+    expect = {96: "tile", 48: "tile", 24: "element"}
+    for fill, want in expect.items():
+        a = band_fill(32768, 384, fill, seed=fill)
+        b = band_fill(32768, 384, fill, seed=fill + 1)
+        choice, det = dispatch_dataflow(a, b, cfg)
+        assert choice == want, (fill, choice, det["element"])

@@ -55,18 +55,30 @@ def main():
     print(f"roundtrip {rt*1e3:.1f} ms", flush=True)
     n, bw = 32768, 384
 
+    import dataclasses as _dc
+
+    cfg_bf16 = _dc.replace(config, engine_dtype="bfloat16")
     rows = []
     for fill in fills:
         a = banded_fill_csr(n, bw, fill, seed=fill)
         b = banded_fill_csr(n, bw, fill, seed=fill + 1)
-        choice, det = dispatch_dataflow(a, b, config)
+        # model the engine the entries actually run (bf16 tiles)
+        choice, det = dispatch_dataflow(a, b, cfg_bf16)
         t_tile_model = min(v["t_est"] for v in det["tile"].values())
         t_elem_model = det["element"]["t_est"]
         print(f"fill={fill}: dispatch={choice} modeled tile "
               f"{t_tile_model*1e3:.3f} elem {t_elem_model*1e3:.3f} ms "
               f"({det['element'].get('bytes_model')})", flush=True)
-        te = bmod._tile_entry(f"band-f{fill}-tile", a, b, config, None, rt)
-        ee = bmod._element_entry(f"band-f{fill}-elem", a, b, config, rt)
+        def guarded(fn, *fa, **kw):
+            try:
+                return fn(*fa, **kw)
+            except Exception as e:
+                return {"error": f"entry failed: {str(e)[:160]}"}
+
+        te = guarded(bmod._tile_entry, f"band-f{fill}-tile", a, b, config,
+                     None, rt)
+        ee = guarded(bmod._element_entry, f"band-f{fill}-elem", a, b,
+                     config, rt)
         t_ms = te.get("elapsed_ms", float("nan"))
         e_ms = ee.get("elapsed_ms", float("nan"))
         winner = ("tile" if (t_ms == t_ms and (e_ms != e_ms or t_ms < e_ms))
