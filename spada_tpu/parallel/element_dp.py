@@ -145,19 +145,71 @@ class ElementDpResult:
         return self.to_csr().todense()
 
 
-def build_dp_program(problem: ElementDpProblem, mesh=None):
+def build_dp_program(problem: ElementDpProblem, mesh=None,
+                     backend: str = "auto",
+                     interpret: Optional[bool] = None):
     """(shard_mapped fn, device operand list) — exposed so tests can assert
-    the jaxpr of the REAL program contains no collectives."""
+    the jaxpr of the REAL program contains no collectives.
+
+    ``backend``: per-shard executor — 'pallas' runs the single-chip
+    element default (the pipelined stream kernels of
+    ops/element_stream.py, measured 1.03 vs 1.20 ms on locpl-64k) on each
+    shard's class slices; 'xla' the fused elementwise form; 'auto'
+    resolves pallas on TPU, xla elsewhere — the same engine-inside-
+    shard_map principle as parallel/cached.py for the tile path."""
     import jax
     import jax.numpy as jnp
     from jax import shard_map
     from jax.sharding import Mesh, PartitionSpec as P
 
+    from spada_tpu.ops.element import resolve_element_backend
+
+    backend = resolve_element_backend(backend)
     if mesh is None:
         devs = jax.devices()[: problem.n_dev]
         mesh = Mesh(np.array(devs), ("dp",))
 
     n_classes = len(problem.classes)
+
+    if backend == "pallas":
+        from spada_tpu.ops.element_stream import (_LANES, _class_geometry,
+                                                  _class_runner)
+
+        if interpret is None:
+            interpret = jax.default_backend() != "tpu"
+        flat, calls = [], []
+        for ci, L in enumerate(problem.classes):
+            av, bv = problem.a_stacked[ci], problem.b_stacked[ci]
+            n_max = av.shape[1]
+            g = _class_geometry(L, n_max)
+            if L == 1:
+                rows = g["rows"]
+                pad = rows * _LANES - n_max
+                shp = lambda x: np.pad(
+                    x, ((0, 0), (0, pad))).reshape(-1, rows, _LANES)
+                calls.append(_class_runner(1, g["n_pad"], rows, g["br"],
+                                           interpret, "float32"))
+            else:
+                pad = g["n_pad"] - n_max
+                shp = lambda x: np.pad(
+                    x, ((0, 0), (0, pad), (0, 0))).transpose(0, 2, 1)
+                calls.append(_class_runner(L, g["n_pad"], 0, g["chl"],
+                                           interpret, "float32"))
+            flat += [jnp.asarray(shp(av)), jnp.asarray(shp(bv))]
+
+        def local(*xs):
+            return tuple(
+                call(xs[2 * i][0], xs[2 * i + 1][0])[None]
+                for i, call in enumerate(calls))
+
+        fn = shard_map(
+            local, mesh=mesh,
+            in_specs=tuple(P("dp") for _ in flat),
+            out_specs=tuple(P("dp") for _ in range(n_classes)),
+            # pallas_call outputs are opaque to the vma checker
+            check_vma=False,
+        )
+        return fn, flat
 
     def local(*flat):
         outs = []
@@ -181,11 +233,16 @@ def build_dp_program(problem: ElementDpProblem, mesh=None):
     return fn, flat
 
 
-def spgemm_element_dp(problem: ElementDpProblem,
-                      mesh=None) -> ElementDpResult:
+def spgemm_element_dp(problem: ElementDpProblem, mesh=None,
+                      backend: str = "auto") -> ElementDpResult:
     """One communication-free shard_map launch over ('dp',)."""
     import jax
 
-    fn, flat = build_dp_program(problem, mesh)
+    fn, flat = build_dp_program(problem, mesh, backend=backend)
     vals = jax.jit(fn)(*flat)
-    return ElementDpResult(problem, [np.asarray(v) for v in vals])
+    # normalize to [n_dev, flat-chunk] so extraction is backend-agnostic
+    # (pallas L=1 classes come back [D, rows, 1024]; L>=2 [D, 1, n_pad];
+    # padding is tail-only in both, so [:nd] slices stay valid)
+    n_dev = problem.n_dev
+    return ElementDpResult(
+        problem, [np.asarray(v).reshape(n_dev, -1) for v in vals])

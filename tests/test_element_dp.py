@@ -72,3 +72,23 @@ def test_strategy_chooser_routes_scattered_to_element_dp():
     strat, det = choose_parallel_strategy(a, b, 8)
     assert strat == "element_dp"
     assert det["comm_bytes"] == 0
+
+
+def test_element_dp_pallas_backend_matches_xla():
+    """The per-shard Pallas stream executor (the single-chip element
+    default on TPU) inside the dp shard_map == the XLA form == scipy."""
+    import numpy as np
+
+    from spada_tpu.io.workloads import localized_powerlaw_csr
+    from spada_tpu.parallel.element_dp import (partition_element,
+                                               spgemm_element_dp)
+
+    a = localized_powerlaw_csr(256, 256, 4.0, seed=15, dtype=np.float32)
+    b = localized_powerlaw_csr(256, 256, 4.0, seed=16, dtype=np.float32)
+    prob = partition_element(a, b, 4)
+    ref = np.asarray((a.to_scipy() @ b.to_scipy()).todense())
+    r_x = spgemm_element_dp(prob, backend="xla")
+    r_p = spgemm_element_dp(prob, backend="pallas")
+    np.testing.assert_allclose(r_x.todense(), ref, rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(r_p.todense(), r_x.todense(),
+                               rtol=1e-6, atol=1e-6)
