@@ -151,10 +151,16 @@ def panel_cost_model(
     )
     mxu_flops = 2 * W * tm * tk * tn
     if config is not None:
-        t_item = (2 * tm * tk * tn / config.peak_flops_bf16
-                  + config.engine_acc_s_per_elem * tm * tn
+        # round-4 validated SUM form (see choose_tile_size): the per-item
+        # non-MXU chain (f32 accumulate + fixed scalar) does NOT overlap
+        # the streaming/compute bound.  The earlier max() form under-
+        # charged thin panels and ranked mixed-height plans ahead of the
+        # uniform tall plan the hardware prefers (EVAL round-5: spada
+        # 68.7 ms vs tm512 49.8 ms on loc-powerlaw under the old form).
+        t_over = (config.engine_acc_s_per_elem * tm * tn
                   + config.engine_item_fixed_s)
-        cost = max(bytes_moved / config.hbm_bytes_per_s, W * t_item)
+        cost = max(bytes_moved / config.hbm_bytes_per_s,
+                   mxu_flops / config.peak_flops_bf16) + W * t_over
     else:
         cost = float(bytes_moved)
     return dict(
