@@ -223,6 +223,36 @@ def stream_execute_fn(layout: StreamLayout, interpret: Optional[bool] = None,
     return run
 
 
+def stacked_class_layout(L: int, n_max: int, interpret: bool):
+    """(shape_fn, runner) for STACKED per-shard class operands [D, ...].
+
+    The distributed element path (parallel/element_dp.py) unifies classes
+    across shards to a common ``n_max``; this returns the same geometry /
+    kernel this module's single-chip executor would use — L=1 reshapes to
+    [D, rows, 1024] blocks, L>=2 transposes to [D, L, n_pad] — so the two
+    paths cannot drift.  Padding is tail-only (pad products are 0*0)."""
+    g = _class_geometry(L, n_max)
+    if L == 1:
+        rows = g["rows"]
+        pad = rows * _LANES - n_max
+
+        def shape(x):
+            return np.pad(x, ((0, 0), (0, pad))).reshape(-1, rows, _LANES)
+
+        call = _class_runner(1, g["n_pad"], rows, g["br"], interpret,
+                             "float32")
+    else:
+        pad = g["n_pad"] - n_max
+
+        def shape(x):
+            return np.pad(
+                x, ((0, 0), (0, pad), (0, 0))).transpose(0, 2, 1)
+
+        call = _class_runner(L, g["n_pad"], 0, g["chl"], interpret,
+                             "float32")
+    return shape, call
+
+
 def stream_values_host(values) -> np.ndarray:
     """Flatten per-class device outputs to one host array in padded esc
     order (class-concatenated; L=1 blocks flatten row-major)."""

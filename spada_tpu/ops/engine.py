@@ -764,6 +764,39 @@ def _pack_plan(ids, plan) -> np.ndarray:
 _MAX_ITEMS_PER_LAUNCH = 70_000
 
 
+def fit_cached_config(tm: int, tk: int, tn: int, itemsize: int,
+                      a_slots: int, b_slots: int, depth: int, ogroup: int,
+                      uitems: int = 1):
+    """Clamp a cached-kernel slot config into the VMEM/packing budget.
+
+    Shared by :func:`run_worklist_cached` and the distributed cached paths
+    (parallel/spgemm.py, parallel/halo.py) so a shard can never launch a
+    configuration the single-chip wrapper would have shrunk.  Fit order:
+    (1) the packed int32 plan carries 8 slot bits (256 slots; one reserved
+    when item pairing is on); (2) halve ogroup until the nbuf=2 f32
+    accumulators take at most half the 12 MiB working budget; (3) shrink
+    depth if even the minimum slot rings cannot fit; (4) shrink slot
+    counts proportionally."""
+    cap = 255 if uitems > 1 else 256
+    a_slots = min(a_slots, cap)
+    b_slots = min(b_slots, cap)
+    total = 12 * 1024 * 1024
+    while ogroup > 1 and 2 * ogroup * tm * tn * 4 > total // 2:
+        ogroup //= 2
+    budget = total - 2 * ogroup * tm * tn * 4
+    slot_pair = (tm * tk + tk * tn) * itemsize
+    max_depth = budget // slot_pair - 2
+    depth = max(1, min(depth, int(max_depth)))
+    a_slots = max(a_slots, depth + 2)
+    b_slots = max(b_slots, depth + 2)
+    need = (a_slots * tm * tk + b_slots * tk * tn) * itemsize
+    if need > budget:
+        scale = budget / need
+        a_slots = max(depth + 2, int(a_slots * scale))
+        b_slots = max(depth + 2, int(b_slots * scale))
+    return a_slots, b_slots, depth, ogroup
+
+
 def _split_by_items(o_ids, n_c_tiles: int, max_items: int):
     """Slab boundaries [(o_lo, o_hi, w_lo, w_hi)] at C-tile granularity."""
     o = np.asarray(o_ids)
@@ -849,34 +882,11 @@ def run_worklist_cached(a_tiles, b_tiles, a_ids, b_ids, o_ids,
             np.concatenate([p.load for p in b_plans]),
             b_slots, sum(p.n_loads for p in b_plans))
         return jnp.concatenate(outs, axis=0), agg_a, agg_b
-    # the packed int32 encoding carries 8 slot bits (see _pack_plan); one
-    # index is reserved for the zero slot when item pairing is on
-    cap = 255 if uitems > 1 else 256
-    a_slots = min(a_slots, cap)
-    b_slots = min(b_slots, cap)
-    # fit the caches + rotating accumulators in VMEM (16MB/core): shrink
-    # slot counts proportionally if the configured sizes would overflow
     tm, tk = a_tiles.shape[1], a_tiles.shape[2]
     tn = b_tiles.shape[2]
     isz = np.dtype(a_tiles.dtype).itemsize
-    # fit order: (1) halve ogroup until the nbuf=2 f32 accumulators take at
-    # most half the 12 MiB budget (big tiles: 8 x 512^2 accs alone would be
-    # 16 MiB); (2) shrink depth if even the minimum slot rings cannot fit;
-    # (3) shrink slot counts proportionally
-    total = 12 * 1024 * 1024
-    while ogroup > 1 and 2 * ogroup * tm * tn * 4 > total // 2:
-        ogroup //= 2
-    budget = total - 2 * ogroup * tm * tn * 4
-    slot_pair = (tm * tk + tk * tn) * isz
-    max_depth = budget // slot_pair - 2
-    depth = max(1, min(depth, int(max_depth)))
-    a_slots = max(a_slots, depth + 2)
-    b_slots = max(b_slots, depth + 2)
-    need = (a_slots * tm * tk + b_slots * tk * tn) * isz
-    if need > budget:
-        scale = budget / need
-        a_slots = max(depth + 2, int(a_slots * scale))
-        b_slots = max(depth + 2, int(b_slots * scale))
+    a_slots, b_slots, depth, ogroup = fit_cached_config(
+        tm, tk, tn, isz, a_slots, b_slots, depth, ogroup, uitems=uitems)
     o = np.asarray(o_ids)
     n_groups = -(-n_c_tiles // ogroup)
     # with item pairing, a U-block's prefetches are all issued before the

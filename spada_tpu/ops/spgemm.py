@@ -329,6 +329,18 @@ def measure_device_perf(a: CsrMatrix, b: CsrMatrix,
     config = config or SpadaConfig()
     dataflow = dataflow or config.dataflow
 
+    # mirror spgemm()'s engine resolution: an auto-dispatched 'spada' run
+    # may have executed the ELEMENT engine — timing the tile worklist then
+    # would report an engine that never ran (round-5 review finding)
+    if (dataflow == "spada" and plan is None and host_state is None
+            and config.element_dispatch in ("auto", "always")):
+        if config.element_dispatch == "always":
+            dataflow = "element"
+        else:
+            choice, _ = dispatch_dataflow(a, b, config)
+            if choice == "element":
+                dataflow = "element"
+
     if dataflow == "element":
         from spada_tpu.ops.element import (_esc_execute_jit, build_esc_plan,
                                            esc_operands, esc_transfer,

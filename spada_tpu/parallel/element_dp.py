@@ -172,29 +172,15 @@ def build_dp_program(problem: ElementDpProblem, mesh=None,
     n_classes = len(problem.classes)
 
     if backend == "pallas":
-        from spada_tpu.ops.element_stream import (_LANES, _class_geometry,
-                                                  _class_runner)
+        from spada_tpu.ops.element_stream import stacked_class_layout
 
         if interpret is None:
             interpret = jax.default_backend() != "tpu"
         flat, calls = [], []
         for ci, L in enumerate(problem.classes):
             av, bv = problem.a_stacked[ci], problem.b_stacked[ci]
-            n_max = av.shape[1]
-            g = _class_geometry(L, n_max)
-            if L == 1:
-                rows = g["rows"]
-                pad = rows * _LANES - n_max
-                shp = lambda x: np.pad(
-                    x, ((0, 0), (0, pad))).reshape(-1, rows, _LANES)
-                calls.append(_class_runner(1, g["n_pad"], rows, g["br"],
-                                           interpret, "float32"))
-            else:
-                pad = g["n_pad"] - n_max
-                shp = lambda x: np.pad(
-                    x, ((0, 0), (0, pad), (0, 0))).transpose(0, 2, 1)
-                calls.append(_class_runner(L, g["n_pad"], 0, g["chl"],
-                                           interpret, "float32"))
+            shp, call = stacked_class_layout(L, av.shape[1], interpret)
+            calls.append(call)
             flat += [jnp.asarray(shp(av)), jnp.asarray(shp(bv))]
 
         def local(*xs):

@@ -260,6 +260,20 @@ def _engine_acc(c, a_tid, b_tid, o_tid, a_tiles, b_tiles, chunk, precision):
     return c
 
 
+def _issue_recvs(bl, send_idx, D: int):
+    """Issue every round's B-tile ppermute up front — no compute
+    dependency, so the transfers overlap the local segment's products.
+    Round r ships src -> (src + r) % D.  Shared by both per-shard
+    engines so the ring schedule cannot diverge between them."""
+    recvs = []
+    for r in range(1, D):
+        out = bl[send_idx[r - 1][0]]
+        recvs.append(jax.lax.ppermute(
+            out, "dp", [(s, (s + r) % D) for s in range(D)]
+        ))
+    return recvs
+
+
 def _halo_xla(p: HaloProblem, mesh: Mesh, chunk: int, precision):
     """Portable per-shard engine: XLA chunked scatter-add per segment."""
     D = p.n_dev
@@ -267,14 +281,7 @@ def _halo_xla(p: HaloProblem, mesh: Mesh, chunk: int, precision):
     def per_shard(a_tid, b_tid, o_tid, a_tiles, b_tiles, *send_idx):
         a_tid, b_tid, o_tid = a_tid[0], b_tid[0], o_tid[0]
         at, bl = a_tiles[0], b_tiles[0]
-        # issue every round's ppermute up front — no compute dependency
-        recvs = []
-        for r in range(1, D):
-            out = bl[send_idx[r - 1][0]]
-            recv = jax.lax.ppermute(
-                out, "dp", [(s, (s + r) % D) for s in range(D)]
-            )
-            recvs.append(recv)
+        recvs = _issue_recvs(bl, send_idx, D)
         zero = jnp.zeros((1, p.tk, p.tn), bl.dtype)
         c = jnp.zeros((p.nCmax + 1, p.tm, p.tn), jnp.float32)
         # local segment first: overlaps with the in-flight transfers
@@ -310,14 +317,16 @@ def _halo_cached(p: HaloProblem, mesh: Mesh, cached_slots, engine_dtype,
     sum into C.  Tiles ride bf16 (engine dtype), so the ppermuted halo
     also ships bf16 — half the ICI bytes of the f32 XLA path.
     """
-    from spada_tpu.ops.engine import _on_tpu, _run_pallas_cached
+    from spada_tpu.ops.engine import (_on_tpu, _run_pallas_cached,
+                                      fit_cached_config)
     from spada_tpu.parallel.cached import build_cached_plans
 
     D = p.n_dev
     if interpret is None:
         interpret = not _on_tpu()
     dtype = engine_dtype or jnp.bfloat16
-    a_sl, b_sl, depth, ogroup = cached_slots
+    a_sl, b_sl, depth, ogroup = fit_cached_config(
+        p.tm, p.tk, p.tn, np.dtype(dtype).itemsize, *cached_slots)
     plans = [
         build_cached_plans(
             p.a_tid[:, p.seg_ptr[r]:p.seg_ptr[r + 1]],
@@ -332,12 +341,7 @@ def _halo_cached(p: HaloProblem, mesh: Mesh, cached_slots, engine_dtype,
     def per_shard(a_tiles, b_tiles, *rest):
         send_idx, plan_args = rest[: D - 1], rest[D - 1:]
         at, bl = a_tiles[0], b_tiles[0]
-        recvs = []
-        for r in range(1, D):
-            out = bl[send_idx[r - 1][0]]
-            recvs.append(jax.lax.ppermute(
-                out, "dp", [(s, (s + r) % D) for s in range(D)]
-            ))
+        recvs = _issue_recvs(bl, send_idx, D)
         zero = jnp.zeros((1, p.tk, p.tn), bl.dtype)
 
         def seg(r, buf):
@@ -398,7 +402,7 @@ def spgemm_halo(problem: HaloProblem, mesh: Optional[Mesh] = None,
     launch keeps the local segment free of any dependence on the
     in-flight transfers, preserving the overlap structure.
     """
-    from spada_tpu.ops.engine import _on_tpu
+    from spada_tpu.ops.engine import _MAX_ITEMS_PER_LAUNCH, _on_tpu
     from spada_tpu.parallel.spgemm import ShardedResult
 
     p = problem
@@ -406,8 +410,21 @@ def spgemm_halo(problem: HaloProblem, mesh: Optional[Mesh] = None,
     if mesh is None:
         devs = np.array(jax.devices()[:D])
         mesh = Mesh(devs, ("dp",))
-    if engine == "auto":
+    was_auto = engine == "auto"
+    if was_auto:
         engine = "cached" if _on_tpu() else "xla"
+    seg_max = max(b - a for a, b in zip(p.seg_ptr[:-1], p.seg_ptr[1:]))
+    if engine == "cached" and seg_max > _MAX_ITEMS_PER_LAUNCH:
+        # per-round packed plans are SMEM scalar-prefetch operands (70k
+        # cap); oversized segments fall back (auto) or fail loudly —
+        # raising n_dev shrinks every segment
+        if was_auto:
+            engine = "xla"
+        else:
+            raise ValueError(
+                f"halo worklist segment of {seg_max} items exceeds the "
+                f"cached kernel's {_MAX_ITEMS_PER_LAUNCH}-item SMEM cap; "
+                "partition with more devices or use engine='xla'")
 
     if engine == "cached":
         c = _halo_cached(p, mesh, cached_slots, engine_dtype, interpret)

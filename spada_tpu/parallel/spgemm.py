@@ -232,10 +232,25 @@ def spgemm_sharded(
     (off-TPU the cached kernel would run in interpret mode — correct but
     orders of magnitude slower, so it must be requested explicitly).
     """
-    from spada_tpu.ops.engine import _on_tpu
+    from spada_tpu.ops.engine import (_MAX_ITEMS_PER_LAUNCH, _on_tpu,
+                                      fit_cached_config)
 
-    if engine == "auto":
+    was_auto = engine == "auto"
+    if was_auto:
         engine = "cached" if _on_tpu() else "xla"
+    if engine == "cached" and problem.Wmax > _MAX_ITEMS_PER_LAUNCH:
+        # the per-shard packed plans are SMEM scalar-prefetch operands
+        # (~70k-item cap, see engine._MAX_ITEMS_PER_LAUNCH); the slab
+        # split of the single-chip wrapper has no static-shape analog
+        # inside shard_map, so oversized shards fall back (auto) or fail
+        # loudly — raising n_dp shrinks Wmax
+        if was_auto:
+            engine = "xla"
+        else:
+            raise ValueError(
+                f"shard worklist Wmax={problem.Wmax} exceeds the cached "
+                f"kernel's {_MAX_ITEMS_PER_LAUNCH}-item SMEM cap; "
+                "partition with more dp shards or use engine='xla'")
     if mesh is None:
         devs = np.array(jax.devices()[: problem.n_dp * problem.n_tp])
         mesh = Mesh(devs.reshape(problem.n_dp, problem.n_tp), ("dp", "tp"))
@@ -246,13 +261,20 @@ def spgemm_sharded(
         if interpret is None:
             interpret = not _on_tpu()
         dtype = engine_dtype or jnp.bfloat16
-        a_sl, b_sl, depth, ogroup = cached_slots
+        a_sl, b_sl, depth, ogroup = fit_cached_config(
+            problem.tm, problem.tk, problem.tn, np.dtype(dtype).itemsize,
+            *cached_slots)
         plans = build_cached_plans(
             problem.a_tid, problem.b_tid, problem.o_tid, problem.nCmax,
             a_slots=a_sl, b_slots=b_sl, depth=depth, ogroup=ogroup,
         )
-        fn = make_sharded_cached_fn(mesh, plans, merge=merge,
-                                    interpret=interpret)
+        fn = make_sharded_cached_fn(
+            mesh, plans, merge=merge, interpret=interpret,
+            # honor an explicit f32 request (bf16 writeback is only the
+            # flagship default when tiles are bf16)
+            out_dtype=(jnp.float32
+                       if np.dtype(dtype) == np.dtype(np.float32)
+                       else None))
         c = fn(
             jnp.asarray(plans.tile_ptr), jnp.asarray(plans.a_pk),
             jnp.asarray(plans.b_pk),

@@ -222,3 +222,36 @@ def test_cached_plans_cover_padding():
             tp_ = plans.tile_ptr[d, t]
             assert tp_[0] == 0 and tp_[-1] == W
             assert (np.diff(tp_) >= 0).all()
+
+
+def test_sharded_cached_f32_request_honored_tp1():
+    """An explicit engine_dtype=float32 on a single-tp mesh must produce
+    f32 C (the bf16 writeback is only the flagship default for bf16
+    tiles) — round-5 review finding."""
+    import jax.numpy as jnp
+
+    if len(jax.devices()) < 2:
+        pytest.skip("needs 2 devices")
+    a = random_csr(120, 100, 0.08, seed=81)
+    b = random_csr(100, 140, 0.08, seed=82)
+    prob = partition_spgemm(a, b, 2, 1, tm=32)
+    res = spgemm_sharded(prob, engine="cached", engine_dtype=jnp.float32)
+    np.testing.assert_allclose(res.todense(), _ref(a, b),
+                               rtol=1e-4, atol=1e-4)
+
+
+def test_sharded_cached_oversized_shard_falls_back(monkeypatch):
+    """Shard worklists past the SMEM prefetch cap fall back to the XLA
+    engine under engine='auto' and raise under explicit 'cached'."""
+    import spada_tpu.ops.engine as eng
+
+    a = random_csr(200, 160, 0.08, seed=83)
+    b = random_csr(160, 220, 0.08, seed=84)
+    prob = partition_spgemm(a, b, 2, 1, tm=32)
+    monkeypatch.setattr(eng, "_MAX_ITEMS_PER_LAUNCH", 4)
+    assert prob.Wmax > 4
+    res = spgemm_sharded(prob, engine="auto")    # falls back, still right
+    np.testing.assert_allclose(res.todense(), _ref(a, b),
+                               rtol=1e-4, atol=1e-4)
+    with pytest.raises(ValueError, match="SMEM cap"):
+        spgemm_sharded(prob, engine="cached")
