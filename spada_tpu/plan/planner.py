@@ -127,6 +127,18 @@ def plan_spgemm(
                 out_c.append(c)
             panels, costs = out_p, out_c
 
+        # Global uniform candidate: pairwise greedy merging can stall in a
+        # local minimum while the single whole-matrix panel span (which
+        # collapses ALL duplicate k-fanout across groups) models cheaper —
+        # the planner must never do worse than its own uniform choice
+        # (round-5: the mixed rmat plan carried 2x the work items of
+        # uniform T and measured 1.4x slower)
+        if len(panels) > 1 and a.shape[0] > 0:
+            u_tm, u_cost, _ = best_for(0, a.shape[0])
+            if u_cost < sum(costs):
+                panels = [PanelSpec(0, a.shape[0], u_tm)]
+                costs = [u_cost]
+
     # merge adjacent same-height groups into single panels
     merged: List[PanelSpec] = []
     for p in panels:
