@@ -89,3 +89,32 @@ def test_slabbed_csr_matches_scipy(seed):
     ref = (a.to_scipy() @ b.to_scipy()).tocsr()
     gm = got.to_scipy()
     assert abs(gm - ref).max() <= 1e-4 * max(abs(ref).max(), 1.0)
+
+
+@pytest.mark.parametrize("seed", range(6))
+def test_distributed_cached_fuzz(seed):
+    """Random shapes/structures through the cached-engine distributed
+    paths (reduce and halo) on the virtual mesh vs scipy."""
+    import jax
+
+    from spada_tpu.parallel import partition_spgemm, spgemm_sharded
+    from spada_tpu.parallel.halo import partition_halo, spgemm_halo
+
+    if len(jax.devices()) < 4:
+        pytest.skip("needs 4 devices")
+    label, a, b = _random_case(seed + 300)
+    if a.nnz == 0 or b.nnz == 0:
+        pytest.skip("empty draw")
+    ref = np.asarray((a.to_scipy() @ b.to_scipy()).todense(), np.float64)
+    scale = max(np.abs(ref).max(), 1e-30)
+    tm = int(np.random.default_rng(seed).choice([16, 32, 64]))
+
+    prob = partition_spgemm(a, b, 2, 2, tm=tm)
+    res = spgemm_sharded(prob, engine="cached")
+    err = np.abs(res.todense() - ref).max() / scale
+    assert err < 2e-2, (label, "reduce", err)   # bf16 tiles
+
+    hprob = partition_halo(a, b, 4, tm=tm)
+    hres = spgemm_halo(hprob, engine="cached")
+    err = np.abs(hres.todense() - ref).max() / scale
+    assert err < 2e-2, (label, "halo", err)
