@@ -337,6 +337,14 @@ def _element_entry(name, a, b, config, rt, gate_rows=2048,
     _mark(f"{name}: element entry start")
     plan = build_esc_plan(a, b)
     _mark(f"{name}: plan built (E={plan.n_products})")
+    if plan.operand_bytes() > 8e9:
+        # a single-shot operand stream past ~half of HBM (15.75 GB) fails
+        # at compile with an opaque OOM (observed at E=938M on the
+        # crossover probe); fail the entry legibly instead — matrices this
+        # size belong to the row-slab streaming path, not a timed entry
+        out["error"] = (f"entry failed: operand stream "
+                        f"{plan.operand_bytes()/1e9:.1f} GB exceeds HBM")
+        return out
     # f32 end-to-end: bf16 writeback is ~7% faster under honest timing
     # (1.68 vs 1.80 ms, locpl-64k) but halves the counted output bytes,
     # so the %-of-SoL metric drops; the entry keeps the exact-result f32
