@@ -171,11 +171,10 @@ def _spread_ms(samples):
             round(max(samples) * 1e3, 3)]
 
 
-# per-tile-edge swept slot configs for the cached kernel (a_slots, b_slots,
-# depth, ogroup): T=512 wants ogroup=2 (1 MB f32 accumulator per group
-# member), T<=256 deeper caches (tools/sweep_cached.py)
-_SLOTS_BY_T = {128: (12, 24, 8, 8), 256: (12, 24, 8, 8),
-               384: (6, 10, 4, 6), 512: (6, 10, 4, 2)}
+# swept per-tile-edge slot configs live with the engine so the
+# distributed paths share them (ops/engine.py CACHED_SLOTS_BY_T);
+# imported lazily inside _tile_entry — bench's module scope stays light
+# because the watchdog PARENT also imports this file
 
 
 def _tile_entry(name, a, b, config, T, rt, densify=False, slots=None):
@@ -209,7 +208,9 @@ def _tile_entry(name, a, b, config, T, rt, densify=False, slots=None):
         out["tile_chosen_by"] = "planner"
     out["tile"] = T
     if slots is None:
-        slots = _SLOTS_BY_T[T]
+        from spada_tpu.ops.engine import CACHED_SLOTS_BY_T
+
+        slots = CACHED_SLOTS_BY_T[T]
     if densify:
         w = GemmWorkload(name, a, b)
         w2, dplan = w.preprocess_densified(config, tm=T, tk=T, tn=T)

@@ -764,6 +764,23 @@ def _pack_plan(ids, plan) -> np.ndarray:
 _MAX_ITEMS_PER_LAUNCH = 70_000
 
 
+# per-tile-edge swept slot optima for the cached kernel
+# (a_slots, b_slots, depth, ogroup): T=512 wants ogroup=2 (1 MB f32
+# accumulator per group member; og>=4 measured collapsing to 2.8 ms on
+# VMEM pressure), T<=256 deeper caches (tools/sweep_cached.py,
+# BENCH_NOTES round-4/5 sweeps).  bench.py and the distributed paths
+# share this table so a shard never launches an unswept configuration.
+CACHED_SLOTS_BY_T = {128: (12, 24, 8, 8), 256: (12, 24, 8, 8),
+                     384: (6, 10, 4, 6), 512: (6, 10, 4, 2)}
+
+
+def default_cached_slots(tm: int, tk: int, tn: int):
+    """Swept (a_slots, b_slots, depth, ogroup) for the nearest tile edge."""
+    t = max(tm, tk, tn)
+    k = min(CACHED_SLOTS_BY_T, key=lambda x: abs(x - t))
+    return CACHED_SLOTS_BY_T[k]
+
+
 def fit_cached_config(tm: int, tk: int, tn: int, itemsize: int,
                       a_slots: int, b_slots: int, depth: int, ogroup: int,
                       uitems: int = 1):
@@ -771,16 +788,20 @@ def fit_cached_config(tm: int, tk: int, tn: int, itemsize: int,
 
     Shared by :func:`run_worklist_cached` and the distributed cached paths
     (parallel/spgemm.py, parallel/halo.py) so a shard can never launch a
-    configuration the single-chip wrapper would have shrunk.  Fit order:
-    (1) the packed int32 plan carries 8 slot bits (256 slots; one reserved
-    when item pairing is on); (2) halve ogroup until the nbuf=2 f32
-    accumulators take at most half the 12 MiB working budget; (3) shrink
+    configuration the single-chip wrapper would have shrunk.  This is a
+    SAFETY clamp against Mosaic compile failure, not an optimizer — the
+    swept per-edge optima live in :data:`CACHED_SLOTS_BY_T`.  The 48 MiB
+    working budget reflects what the chip demonstrably sustains (the
+    nn config's ~28 MB measured fast; the Mosaic vmem_limit is 100 MiB).
+    Fit order: (1) the packed int32 plan carries 8 slot bits (256 slots;
+    one reserved when item pairing is on); (2) halve ogroup until the
+    nbuf=2 f32 accumulators take at most half the budget; (3) shrink
     depth if even the minimum slot rings cannot fit; (4) shrink slot
     counts proportionally."""
     cap = 255 if uitems > 1 else 256
     a_slots = min(a_slots, cap)
     b_slots = min(b_slots, cap)
-    total = 12 * 1024 * 1024
+    total = 48 * 1024 * 1024
     while ogroup > 1 and 2 * ogroup * tm * tn * 4 > total // 2:
         ogroup //= 2
     budget = total - 2 * ogroup * tm * tn * 4
@@ -819,13 +840,26 @@ def _split_by_items(o_ids, n_c_tiles: int, max_items: int):
 
 
 def run_worklist_cached(a_tiles, b_tiles, a_ids, b_ids, o_ids,
-                        n_c_tiles: int, a_slots: int = 16, b_slots: int = 48,
-                        depth: int = 8, ogroup: int = 8,
+                        n_c_tiles: int, a_slots: Optional[int] = None,
+                        b_slots: Optional[int] = None,
+                        depth: Optional[int] = None,
+                        ogroup: Optional[int] = None,
                         interpret: Optional[bool] = None,
                         precision: str = "default", uitems: int = 1):
-    """VMEM-cached engine; returns (c_tiles, a_plan, b_plan)."""
+    """VMEM-cached engine; returns (c_tiles, a_plan, b_plan).
+
+    Unset slot parameters default per tile edge from the swept optima
+    (:data:`CACHED_SLOTS_BY_T` — e.g. T=512 needs ogroup=2; larger groups
+    measured collapsing on VMEM pressure); explicit values are honored
+    and only clamped by :func:`fit_cached_config`."""
     from spada_tpu.ops.cacheplan import CachePlan, plan_tile_cache
 
+    d_a, d_b, d_depth, d_og = default_cached_slots(
+        a_tiles.shape[1], a_tiles.shape[2], b_tiles.shape[2])
+    a_slots = d_a if a_slots is None else a_slots
+    b_slots = d_b if b_slots is None else b_slots
+    depth = d_depth if depth is None else depth
+    ogroup = d_og if ogroup is None else ogroup
     if interpret is None:
         interpret = not _on_tpu()
     if len(a_ids) == 0 or n_c_tiles == 0:

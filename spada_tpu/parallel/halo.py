@@ -318,6 +318,7 @@ def _halo_cached(p: HaloProblem, mesh: Mesh, cached_slots, engine_dtype,
     also ships bf16 — half the ICI bytes of the f32 XLA path.
     """
     from spada_tpu.ops.engine import (_on_tpu, _run_pallas_cached,
+                                      default_cached_slots,
                                       fit_cached_config)
     from spada_tpu.parallel.cached import build_cached_plans
 
@@ -325,6 +326,8 @@ def _halo_cached(p: HaloProblem, mesh: Mesh, cached_slots, engine_dtype,
     if interpret is None:
         interpret = not _on_tpu()
     dtype = engine_dtype or jnp.bfloat16
+    if cached_slots is None:
+        cached_slots = default_cached_slots(p.tm, p.tk, p.tn)
     a_sl, b_sl, depth, ogroup = fit_cached_config(
         p.tm, p.tk, p.tn, np.dtype(dtype).itemsize, *cached_slots)
     plans = [
@@ -384,7 +387,7 @@ def spgemm_halo(problem: HaloProblem, mesh: Optional[Mesh] = None,
                 chunk: int = 1024,
                 precision=jax.lax.Precision.HIGHEST,
                 engine: str = "auto",
-                cached_slots=(6, 10, 4, 6),
+                cached_slots=None,
                 engine_dtype=None,
                 interpret: Optional[bool] = None):
     """Execute: ppermute the B-tile halo rounds, overlapped with local work.

@@ -219,7 +219,7 @@ def spgemm_sharded(
     chunk: int = 1024,
     merge: str = "reduce_scatter",
     engine: str = "auto",
-    cached_slots=(6, 10, 4, 6),
+    cached_slots=None,
     engine_dtype=None,
     interpret: Optional[bool] = None,
 ) -> ShardedResult:
@@ -233,7 +233,14 @@ def spgemm_sharded(
     orders of magnitude slower, so it must be requested explicitly).
     """
     from spada_tpu.ops.engine import (_MAX_ITEMS_PER_LAUNCH, _on_tpu,
+                                      default_cached_slots,
                                       fit_cached_config)
+
+    if cached_slots is None:
+        # swept per-tile-edge optima (bench/probes measured; e.g. T=512
+        # needs ogroup=2 — larger groups collapse on VMEM pressure)
+        cached_slots = default_cached_slots(problem.tm, problem.tk,
+                                            problem.tn)
 
     was_auto = engine == "auto"
     if was_auto:

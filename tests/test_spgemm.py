@@ -478,3 +478,23 @@ def test_dispatch_crossover_family_bf16():
         b = band_fill(32768, 384, fill, seed=fill + 1)
         choice, det = dispatch_dataflow(a, b, cfg)
         assert choice == want, (fill, choice, det["element"])
+
+
+def test_cached_slot_defaults_and_fit():
+    """The swept per-tile-edge slot table is the defaults source for the
+    distributed paths, and the shared VMEM fit passes the swept configs
+    through unchanged (it is a safety clamp, not an optimizer)."""
+    from spada_tpu.ops.engine import (CACHED_SLOTS_BY_T,
+                                      default_cached_slots,
+                                      fit_cached_config)
+
+    assert default_cached_slots(512, 512, 512) == (6, 10, 4, 2)
+    assert default_cached_slots(384, 384, 384) == (6, 10, 4, 6)
+    assert default_cached_slots(100, 128, 128) == CACHED_SLOTS_BY_T[128]
+    # every swept config fits its own tile edge unchanged (bf16 tiles)
+    for t, cfg in CACHED_SLOTS_BY_T.items():
+        assert fit_cached_config(t, t, t, 2, *cfg) == cfg, t
+    assert fit_cached_config(64, 64, 64, 4, 12, 24, 8, 8) == (12, 24, 8, 8)
+    # slot cap: the packed int32 plan carries 8 slot bits
+    a, b, _, _ = fit_cached_config(64, 64, 64, 4, 400, 500, 8, 8)
+    assert a <= 256 and b <= 256
