@@ -87,6 +87,7 @@ class SparseMLP:
         """Random block-sparse MLP: dims = (in, hidden..., out)."""
         rng = np.random.default_rng(seed)
         specs, params = [], []
+        prev_rows = None
         for fan_in, fan_out in zip(dims[:-1], dims[1:]):
             n_tr = -(-fan_out // tm)
             n_kt = -(-fan_in // tk)
@@ -96,6 +97,15 @@ class SparseMLP:
             chosen.sort()
             trow = (chosen // n_kt).astype(np.int32)
             tcol = (chosen % n_kt).astype(np.int32)
+            # connectivity guard: at sparse densities a layer's kept
+            # k-tiles can entirely miss the previous layer's nonzero
+            # output row panels — a structurally DEAD network whose
+            # forward is exactly zero (observed at density 0.25 seed 0).
+            # Rewire one tile's k onto a live input slab if so.
+            if prev_rows is not None and not (set(tcol.tolist())
+                                              & prev_rows):
+                tcol[0] = np.int32(rng.choice(sorted(prev_rows)))
+            prev_rows = set(trow.tolist())
             scale = np.sqrt(2.0 / max(fan_in * density, 1.0))
             tiles = rng.standard_normal((n_keep, tm, tk)).astype(np.float32) * scale
             specs.append(SparseLinearSpec(n_tr, n_kt, tm, tk, trow, tcol))

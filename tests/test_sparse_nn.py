@@ -104,3 +104,22 @@ def test_sharded_padded_slots_stay_inert():
     assert buf.shape[1] == 2              # ceil(3/2)
     # shard 1 owns tile index 1 only; its slot 1 is padding
     assert np.all(buf[1, 1] == 0.0), "padded slot drifted nonzero"
+
+
+def test_from_density_never_structurally_dead():
+    """Sparse layer structures must stay connected: the forward of a
+    random block-sparse MLP is nonzero for any seed (a layer whose kept
+    k-tiles all miss the previous layer's output rows computes exactly
+    zero — observed at density 0.25 seed 0 before the connectivity
+    guard)."""
+    import jax.numpy as jnp
+
+    from spada_tpu.models.sparse_nn import SparseMLP
+
+    rng = np.random.default_rng(7)
+    for seed in range(8):
+        m = SparseMLP.from_density((512, 512, 256), density=0.25,
+                                   tm=128, tk=128, seed=seed)
+        x = jnp.asarray(rng.standard_normal((m.in_pad, 8)).astype(np.float32))
+        out = m.forward([jnp.asarray(p) for p in m.params], x)
+        assert float(jnp.abs(out).sum()) > 0, seed
