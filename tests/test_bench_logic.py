@@ -150,3 +150,24 @@ def test_summarize_gate_failure_zeroes():
     entries[3] = {"name": "w4", "error": "entry failed: pool wedge"}
     summary, _ = bench._summarize(entries, {}, {}, "tpu")
     assert summary["value"] == 75.0
+
+
+def test_entry_dispatched_routes_both_ways(monkeypatch):
+    """_entry_dispatched routes through dispatch_dataflow (bf16-true
+    modeling) and tags the entry with the decision + modeled times."""
+    from spada_tpu.io.workloads import block_sparse_csr, powerlaw_csr
+
+    monkeypatch.setattr(bench, "_tile_entry",
+                        lambda name, *a, **k: {"name": name,
+                                               "engine": "cached"})
+    monkeypatch.setattr(bench, "_element_entry",
+                        lambda name, *a, **k: {"name": name,
+                                               "engine": "element"})
+    cfg = SpadaConfig()
+    a = block_sparse_csr(2048, 2048, 128, 0.4, seed=70, dtype=np.float32)
+    out = bench._entry_dispatched("clustered", a, a, cfg, rt=0.03)
+    assert out["dispatch"] == "tile" and out["engine"] == "cached"
+    assert set(out["dispatch_t_est_ms"]) == {"element", "tile"}
+    s = powerlaw_csr(4096, 4096, 4.0, seed=71, dtype=np.float32)
+    out = bench._entry_dispatched("scattered", s, s, cfg, rt=0.03)
+    assert out["dispatch"] == "element" and out["engine"] == "element"
